@@ -1,0 +1,163 @@
+"""On-device depth rasterizer (the reference's Model2Depth, GL-free).
+
+Re-design of Model2Depth.{h,cpp}: the reference renders the deformed mesh
+with fixed-function OpenGL per (sequence, frame), reads back the z-buffer
+and stores eye-space disparity ``1/z_e`` rasters (RenderDepth,
+Model2Depth.cpp:118-156, z formula 134-140). That needs a GLUT window and a
+GPU context; here rasterization is a jitted scatter-max over triangle
+tiles, fully on-device ("Model2Depth re-rendering fused on-device" per
+BASELINE's north star):
+
+  1. project vertices through the pinhole camera (continuous pixel coords)
+  2. per triangle: fixed-size pixel tile anchored at its bbox corner,
+     edge-function coverage + screen-space linear interpolation of 1/z
+     (exact perspective-correct interpolation for disparity)
+  3. z-test = scatter-max of disparity into the image (nearest surface has
+     the largest 1/z), chunked over faces with a `lax.scan` carry.
+
+Static shapes throughout: two passes with tile sizes `tile` (small faces)
+and `tile_large` handle everything up to `tile_large` px bounding boxes;
+larger faces are counted in `overflow` (pre-subdivide the mesh if nonzero).
+Output matches the reference's convention: disparity 1/z_cam, 0 = no hit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import CameraBatch, world_to_cam
+
+
+class RenderResult(NamedTuple):
+    disparity: jnp.ndarray   # [H,W] f32, 0 where empty
+    overflow: jnp.ndarray    # scalar i32: faces too large for tile_large
+
+
+def _raster_pass(uvz, faces, face_ok, h, w, tile, zbuf, chunk):
+    """Scatter-max one pass of triangles with bboxes <= tile px."""
+    nf = faces.shape[0]
+    u = uvz[:, 0]
+    v = uvz[:, 1]
+    invz = uvz[:, 2]
+
+    # pad face count to a multiple of chunk with invalid faces
+    pad = (-nf) % chunk
+    faces = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
+    face_ok = jnp.concatenate(
+        [face_ok, jnp.zeros((pad,), face_ok.dtype)], axis=0)
+    faces = faces.reshape(-1, chunk, 3)
+    face_ok = face_ok.reshape(-1, chunk)
+
+    dy, dx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
+                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    offs = jnp.stack([dx.ravel(), dy.ravel()], axis=-1)     # [tile*tile, 2]
+
+    def body(zb, inp):
+        f, ok = inp                                        # [C,3], [C]
+        ua = u[f]                                          # [C,3]
+        va = v[f]
+        za = invz[f]
+        # tile anchored at the image-clipped bbox corner (offscreen extents
+        # don't cost coverage; fully-offscreen faces drop via the pixel mask)
+        x0 = jnp.clip(jnp.floor(jnp.min(ua, axis=1)), 0, w - 1)
+        y0 = jnp.clip(jnp.floor(jnp.min(va, axis=1)), 0, h - 1)
+        # pixel centers covered by this face's tile
+        px = x0[:, None] + offs[None, :, 0]                # [C,T]
+        py = y0[:, None] + offs[None, :, 1]
+
+        # edge functions e(a,b,p) = cross(b-a, p-a), either winding
+        def edge(ax, ay, bx, by, px_, py_):
+            return (bx - ax)[:, None] * (py_ - ay[:, None]) - \
+                   (by - ay)[:, None] * (px_ - ax[:, None])
+
+        e0 = edge(ua[:, 0], va[:, 0], ua[:, 1], va[:, 1], px, py)
+        e1 = edge(ua[:, 1], va[:, 1], ua[:, 2], va[:, 2], px, py)
+        e2 = edge(ua[:, 2], va[:, 2], ua[:, 0], va[:, 0], px, py)
+        area = ((ua[:, 1] - ua[:, 0]) * (va[:, 2] - va[:, 0]) -
+                (va[:, 1] - va[:, 0]) * (ua[:, 2] - ua[:, 0]))[:, None]
+        inside = jnp.where(
+            area >= 0,
+            (e0 >= 0) & (e1 >= 0) & (e2 >= 0),
+            (e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        denom = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+        w0 = e1 / denom                                   # weight of vertex 0
+        w1 = e2 / denom
+        w2 = e0 / denom
+        # screen-space linear interp of 1/z == perspective-correct disparity
+        disp = w0 * za[:, 0:1] + w1 * za[:, 1:2] + w2 * za[:, 2:3]
+
+        okpix = (inside & ok[:, None] &
+                 (jnp.abs(area) > 1e-12) &
+                 (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1) &
+                 (disp > 0))
+        idx = (py.astype(jnp.int32) * w + px.astype(jnp.int32))
+        idx = jnp.where(okpix, idx, h * w)                # OOB -> dropped
+        zb = zb.at[idx.ravel()].max(disp.ravel(), mode="drop")
+        return zb, None
+
+    zbuf, _ = jax.lax.scan(body, zbuf, (faces, face_ok))
+    return zbuf
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile", "tile_large",
+                                   "chunk", "znear"))
+def render_disparity(
+    vertices: jnp.ndarray,     # [V,3] world-space
+    faces: jnp.ndarray,        # [F,3] int32 (padding rows: any id, masked)
+    face_mask: jnp.ndarray,    # [F] bool
+    cam: CameraBatch,          # single camera
+    *,
+    height: int,
+    width: int,
+    tile: int = 16,
+    tile_large: int = 128,
+    chunk: int = 2048,
+    znear: float = 1e-4,
+) -> RenderResult:
+    pc = world_to_cam(cam, vertices)                       # [V,3]
+    z = pc[:, 2]
+    zsafe = jnp.where(jnp.abs(z) < znear, znear, z)
+    u = cam.fx * pc[:, 0] / zsafe + cam.cx
+    v = cam.fy * pc[:, 1] / zsafe + cam.cy
+    invz = jnp.where(z > znear, 1.0 / zsafe, 0.0)
+    uvz = jnp.stack([u, v, invz], axis=-1)                 # [V,3]
+
+    f = jnp.clip(faces, 0, vertices.shape[0] - 1)
+    # cull faces with any vertex behind the near plane (the reference's GL
+    # frustum similarly clips at znear, Model2Depth.cpp:100-116)
+    zs = z[f]                                              # [F,3]
+    ok = face_mask & jnp.all(zs > znear, axis=1)
+
+    ua, va = u[f], v[f]
+    bw = (jnp.clip(jnp.max(ua, axis=1), 0, width - 1) -
+          jnp.clip(jnp.min(ua, axis=1), 0, width - 1))
+    bh = (jnp.clip(jnp.max(va, axis=1), 0, height - 1) -
+          jnp.clip(jnp.min(va, axis=1), 0, height - 1))
+    small = (bw < tile - 1) & (bh < tile - 1)
+    large = ~small & (bw < tile_large - 1) & (bh < tile_large - 1)
+    overflow = jnp.sum(ok & ~small & ~large).astype(jnp.int32)
+
+    zbuf = jnp.zeros((height * width + 1,), jnp.float32)
+    zbuf = _raster_pass(uvz, f, ok & small, height, width, tile, zbuf, chunk)
+    zbuf = _raster_pass(uvz, f, ok & large, height, width, tile_large, zbuf,
+                        max(chunk // 16, 8))
+    return RenderResult(zbuf[:height * width].reshape(height, width), overflow)
+
+
+def render_sequence(vertices, faces, face_mask, cams: CameraBatch, *,
+                    height: int, width: int, **kw):
+    """Render all frames of a camera batch -> [N,H,W] disparities.
+
+    Equivalent of the reference's per-frame GLUT loop over
+    Model2Depth::RenderSence (Model2Depth.cpp:81-156), as a vmap.
+    """
+    def one(K, R, t):
+        c = CameraBatch(K, R, t, width, height)
+        return render_disparity(vertices, faces, face_mask, c,
+                                height=height, width=width, **kw).disparity
+    return jax.vmap(one)(cams.K, cams.R, cams.t)

@@ -1,0 +1,149 @@
+import numpy as np
+import jax.numpy as jnp
+
+from multiviewstitch_tpu.core.cameras import CameraBatch, unproject_depth_map
+from multiviewstitch_tpu.ops.rasterizer import render_disparity
+from multiviewstitch_tpu.ops.meshing import grid_mesh, compact_mesh
+from multiviewstitch_tpu.ops.mesh_normals import vertex_normals, facet_normals
+from multiviewstitch_tpu.pipeline.fixtures import uv_sphere, ring_cameras, make_scene
+
+
+def frontal_cam(w=64, h=48, f=60.0):
+    K = jnp.asarray([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1]],
+                    jnp.float32)
+    return CameraBatch(K, jnp.eye(3), jnp.zeros(3), w, h)
+
+
+def test_rasterize_plane_analytic_depth():
+    # a large quad at z=2 covering the full view -> disparity 0.5 everywhere
+    z = 2.0
+    verts = jnp.asarray([[-5, -5, z], [5, -5, z], [5, 5, z], [-5, 5, z]],
+                        jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    cam = frontal_cam()
+    out = render_disparity(verts, faces, jnp.ones(2, bool), cam,
+                           height=48, width=64)
+    d = np.asarray(out.disparity)
+    assert int(out.overflow) == 0
+    np.testing.assert_allclose(d, 0.5, atol=1e-5)
+
+
+def test_rasterize_slanted_plane_matches_analytic():
+    # plane z = 2 + 0.5x: disparity varies; check center row analytically
+    verts = jnp.asarray([[-1.5, -1.5, 0.0], [1.5, -1.5, 0.0],
+                         [1.5, 1.5, 0.0], [-1.5, 1.5, 0.0]], jnp.float32)
+    verts = verts.at[:, 2].set(2.0 + 0.5 * verts[:, 0])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    cam = frontal_cam()
+    out = render_disparity(verts, faces, jnp.ones(2, bool), cam,
+                           height=48, width=64, tile_large=256)
+    d = np.asarray(out.disparity)
+    # ray through pixel u: x = (u-cx)/f * z; z = 2 + 0.5x =>
+    # z = 2 / (1 - 0.5*(u-cx)/f)
+    cx = (64 - 1) / 2
+    for u in [10, 31, 50]:
+        xz = (u - cx) / 60.0
+        z_true = 2.0 / (1.0 - 0.5 * xz)
+        got = d[24, u]
+        assert got > 0
+        np.testing.assert_allclose(1.0 / got, z_true, rtol=2e-2)
+
+
+def test_rasterize_occlusion_keeps_nearest():
+    # two stacked quads; nearer one (z=1) must win where both cover
+    verts = jnp.asarray(
+        [[-5, -5, 2], [5, -5, 2], [5, 5, 2], [-5, 5, 2],     # far
+         [-0.2, -0.2, 1], [0.2, -0.2, 1], [0.2, 0.2, 1], [-0.2, 0.2, 1]],
+        jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                        jnp.int32)
+    cam = frontal_cam()
+    d = np.asarray(render_disparity(verts, faces, jnp.ones(4, bool), cam,
+                                    height=48, width=64).disparity)
+    cx, cy = 31, 23
+    np.testing.assert_allclose(d[cy, cx], 1.0, atol=1e-5)   # center: near quad
+    np.testing.assert_allclose(d[2, 2], 0.5, atol=1e-5)     # corner: far quad
+
+
+def test_sphere_render_depth_range():
+    scene = make_scene(n_frames=2, width=96, height=72, bumps=0.0,
+                       n_lat=32, n_lon=48)
+    d = scene.disparity[0]
+    hit = d > 0
+    assert hit.mean() > 0.02
+    z = 1.0 / d[hit]
+    # camera at radius 2, sphere radius .5 -> depths within [1.5, 2.5]
+    assert z.min() > 1.4 and z.max() < 2.6
+    # silhouette: center pixel hits, border doesn't
+    assert d[36, 47] > 0 and d[0, 0] == 0
+
+
+def test_grid_mesh_on_ramp():
+    # synthetic disparity ramp -> full grid connectivity, exact vertex count
+    h, w = 12, 16
+    disp = np.linspace(0.2, 0.25, h * w, dtype=np.float32).reshape(h, w)
+    cam = frontal_cam(w, h)
+    m = grid_mesh(jnp.asarray(disp), cam, min_dsp=0.01, max_dsp=1.0,
+                  smooth_thres=100.0)
+    v, f, tex = compact_mesh(m)
+    assert v.shape[0] == h * w
+    assert f.shape[0] == 2 * (h - 1) * (w - 1)
+    # row-major numbering: tex index of vertex k == k
+    np.testing.assert_array_equal(tex, np.arange(h * w))
+    # all faces reference valid vertices
+    assert f.min() >= 0 and f.max() < h * w
+
+
+def test_grid_mesh_smoothness_threshold_cuts_cliffs():
+    h, w = 8, 8
+    disp = np.full((h, w), 0.2, np.float32)
+    disp[:, 4:] = 0.4  # depth cliff between col 3 and 4
+    cam = frontal_cam(w, h)
+    m = grid_mesh(jnp.asarray(disp), cam, min_dsp=0.01, max_dsp=1.0,
+                  smooth_thres=1.0)  # thr = 1.0*(1-0.01)/100 ≈ 0.0099 < 0.2
+    v, f, _ = compact_mesh(m)
+    assert v.shape[0] == h * w
+    # no face may span the cliff: vertices 0..3 cols vs 4..7 cols
+    cols = (np.arange(h * w) % w)[f]
+    assert not np.any((cols.min(1) <= 3) & (cols.max(1) >= 4))
+
+
+def test_grid_mesh_invalid_pixels_skipped():
+    h, w = 6, 6
+    disp = np.full((h, w), 0.3, np.float32)
+    disp[2, 2] = 0.0
+    disp[3, 3] = 5.0   # out of range
+    cam = frontal_cam(w, h)
+    m = grid_mesh(jnp.asarray(disp), cam, min_dsp=0.01, max_dsp=1.0,
+                  smooth_thres=100.0)
+    v, f, tex = compact_mesh(m)
+    assert v.shape[0] == h * w - 2
+    assert 2 * w + 2 not in tex and 3 * w + 3 not in tex
+    assert f.min() >= 0 and f.max() < v.shape[0]
+
+
+def test_render_unproject_roundtrip():
+    # unprojected rasterized sphere points must lie near the unit sphere
+    scene = make_scene(n_frames=1, width=96, height=72, bumps=0.0,
+                       n_lat=48, n_lon=64)
+    pts, valid = unproject_depth_map(scene.cams[0],
+                                     jnp.asarray(scene.disparity[0]),
+                                     1e-6, 1e6)
+    r = np.linalg.norm(np.asarray(pts)[np.asarray(valid)], axis=1)
+    assert abs(np.median(r) - 0.5) < 0.02
+
+
+def test_vertex_normals_sphere():
+    verts, faces = uv_sphere(24, 32, radius=1.0)
+    vn = np.asarray(vertex_normals(jnp.asarray(verts), jnp.asarray(faces)))
+    # away from the poles, vertex normals of a sphere ≈ radial direction
+    vr = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    interior = np.abs(verts[:, 1]) < 0.9
+    dots = np.abs((vn[interior] * vr[interior]).sum(1))
+    assert dots.min() > 0.97
+
+
+def test_facet_normals_orientation():
+    verts = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
+    n = np.asarray(facet_normals(verts, jnp.asarray([[0, 1, 2]])))
+    np.testing.assert_allclose(n[0], [0, 0, 1], atol=1e-6)
