@@ -1,0 +1,210 @@
+"""Feature detection + SIFT-style descriptors, fully jitted.
+
+TPU-native replacement for FeatureProc.{h,cpp}, which shells out to the
+prebuilt SiftGPU OpenGL library (DetectFeatureSingleView,
+FeatureProc.cpp:14-75). Here detection and description are batched JAX ops:
+
+  - scale space: separable Gaussian pyramid (static octave/scale counts)
+  - detector: multi-scale Harris corner response, 3x3 NMS via max-pool
+    equality, margin bands zeroed exactly like the reference's pre-blanking
+    (FeatureProc.cpp:28-43 -> filters.margin_mask)
+  - fixed-capacity top-K keypoints across all levels (static shapes)
+  - descriptors: 4x4x8 gradient-orientation histograms over a 16x16 patch
+    resampled at the keypoint's scale and dominant orientation (the SIFT
+    layout SiftGPU produces), L2-normalized with 0.2 clipping
+
+The MXU-friendly matcher lives in ops/match.py. Keypoint capacity K and
+pyramid shape are static; validity masks carry the dynamic counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    uv: jnp.ndarray        # [K,2] float32 source-image pixel coords
+    scale: jnp.ndarray     # [K] float32 (pyramid sampling step)
+    angle: jnp.ndarray     # [K] float32 dominant orientation (rad)
+    score: jnp.ndarray     # [K] float32 detector response
+    valid: jnp.ndarray     # [K] bool
+    desc: jnp.ndarray      # [K,128] float32 L2-normalized descriptors
+
+
+def _gauss_kernel1d(sigma: float, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None):
+    """Separable Gaussian blur of [H,W] (edge-replicate padding)."""
+    radius = radius or max(1, int(3.0 * sigma + 0.5))
+    k = _gauss_kernel1d(sigma, radius)
+    pad = [(radius, radius)]
+    x = jnp.pad(img, pad + [(0, 0)], mode="edge")
+    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
+                 in_axes=1, out_axes=1)(x)
+    x = jnp.pad(x, [(0, 0)] + pad, mode="edge")
+    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
+    return x
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def _harris(img: jnp.ndarray, k: float = 0.04, sigma: float = 1.5):
+    """Harris corner response of [H,W]."""
+    dx = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
+    dy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+    a = gaussian_blur(dx * dx, sigma)
+    b = gaussian_blur(dy * dy, sigma)
+    c = gaussian_blur(dx * dy, sigma)
+    det = a * b - c * c
+    tr = a + b
+    return det - k * tr * tr
+
+
+def _nms3(r: jnp.ndarray):
+    """True where r equals the 3x3 neighborhood max."""
+    neg = -jnp.inf
+    m = r
+    for sy in (-1, 0, 1):
+        for sx in (-1, 0, 1):
+            if sy == 0 and sx == 0:
+                continue
+            sh = jnp.roll(jnp.roll(r, sy, 0), sx, 1)
+            m = jnp.maximum(m, sh)
+    return r >= m
+
+
+def _orientation(img, uv, radius: int = 8):
+    """Dominant gradient orientation in a (2r)^2 window (36-bin histogram,
+    Gaussian-weighted, like SIFT)."""
+    h, w = img.shape
+    d = jnp.arange(-radius, radius)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    px = jnp.clip(uv[0].astype(jnp.int32) + dx, 1, w - 2)
+    py = jnp.clip(uv[1].astype(jnp.int32) + dy, 1, h - 2)
+    gx = (img[py, jnp.clip(px + 1, 0, w - 1)] -
+          img[py, jnp.clip(px - 1, 0, w - 1)]) * 0.5
+    gy = (img[jnp.clip(py + 1, 0, h - 1), px] -
+          img[jnp.clip(py - 1, 0, h - 1), px]) * 0.5
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx)
+    wgt = jnp.exp(-0.5 * ((dx ** 2 + dy ** 2) / (radius * radius / 2.25)))
+    bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+    hist = jnp.zeros((36,)).at[bins.ravel()].add((mag * wgt).ravel())
+    # smooth circularly then take the peak
+    hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    peak = jnp.argmax(hist)
+    return (peak.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+
+
+def _descriptor(img, uv, scale, angle):
+    """128-d SIFT-layout descriptor at (uv, scale, angle) on image [H,W]."""
+    h, w = img.shape
+    # 16x16 sampling grid rotated by angle, spaced by `scale`
+    g = (jnp.arange(16, dtype=jnp.float32) - 7.5)
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    sx = uv[0] + scale * (ca * gx - sa * gy)
+    sy = uv[1] + scale * (sa * gx + ca * gy)
+
+    def bilinear(yy, xx):
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
+        fx = jnp.clip(xx - x0, 0.0, 1.0)
+        fy = jnp.clip(yy - y0, 0.0, 1.0)
+        v00 = img[y0, x0]
+        v01 = img[y0, x0 + 1]
+        v10 = img[y0 + 1, x0]
+        v11 = img[y0 + 1, x0 + 1]
+        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
+                v10 * (1 - fx) * fy + v11 * fx * fy)
+
+    # gradients in the rotated frame (finite differences along grid axes)
+    eps = 0.5 * scale
+    gxv = (bilinear(sy, sx + eps * ca) - bilinear(sy, sx - eps * ca) +
+           bilinear(sy + eps * sa, sx) - bilinear(sy - eps * sa, sx))
+    gyv = (bilinear(sy + eps * ca, sx) - bilinear(sy - eps * ca, sx) -
+           bilinear(sy, sx + eps * sa) + bilinear(sy, sx - eps * sa))
+    mag = jnp.sqrt(gxv * gxv + gyv * gyv)
+    ang = jnp.arctan2(gyv, gxv)
+
+    wgt = jnp.exp(-0.5 * ((gx ** 2 + gy ** 2) / 64.0))
+    obin = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
+    cell = (jnp.clip((gy + 8) // 4, 0, 3).astype(jnp.int32) * 4 +
+            jnp.clip((gx + 8) // 4, 0, 3).astype(jnp.int32))
+    idx = cell * 8 + obin
+    desc = jnp.zeros((128,)).at[idx.ravel()].add((mag * wgt).ravel())
+    n = jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+    desc = jnp.minimum(desc / n, 0.2)
+    return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "num_levels", "margins"))
+def detect_and_describe(
+    gray: jnp.ndarray,            # [H,W] float32 (any consistent scale)
+    *,
+    max_keypoints: int = 512,
+    num_levels: int = 3,
+    margins: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    min_score: float = 1e-7,
+) -> Keypoints:
+    """Detect up to K keypoints over a `num_levels` half-octave pyramid and
+    compute SIFT-layout descriptors. margins = (hl, hr, vl, vr) ratios."""
+    from .filters import margin_mask
+
+    h, w = gray.shape
+    img = gray.astype(jnp.float32)
+    img = img / jnp.maximum(jnp.max(jnp.abs(img)), 1e-8)
+
+    hl, hr, vl, vr = margins
+    levels = []
+    cur = gaussian_blur(img, 1.0)
+    for lv in range(num_levels):
+        levels.append(cur)
+        if lv + 1 < num_levels:
+            cur = _downsample2(gaussian_blur(cur, 1.2))
+
+    all_uv, all_score, all_scale = [], [], []
+    for lv, lim in enumerate(levels):
+        lh, lw = lim.shape
+        r = _harris(lim)
+        mm = margin_mask(lh, lw, hl, hr, vl, vr)
+        # also blank a 8px frame so descriptor windows stay inside
+        mm = mm * margin_mask(lh, lw, 8.0 / lw, 8.0 / lw, 8.0 / lh, 8.0 / lh)
+        r = jnp.where((mm > 0) & _nms3(r), r, -jnp.inf)
+        k_lv = max_keypoints  # take top-K per level, merge below
+        score, flat = jax.lax.top_k(r.ravel(), k_lv)
+        uu = (flat % lw).astype(jnp.float32) * (2.0 ** lv)
+        vv = (flat // lw).astype(jnp.float32) * (2.0 ** lv)
+        all_uv.append(jnp.stack([uu, vv], -1))
+        all_score.append(score)
+        all_scale.append(jnp.full((k_lv,), 2.0 ** lv))
+
+    uv = jnp.concatenate(all_uv)
+    score = jnp.concatenate(all_score)
+    scale = jnp.concatenate(all_scale)
+    score_top, sel = jax.lax.top_k(score, max_keypoints)
+    uv = uv[sel]
+    scale = scale[sel]
+    valid = score_top > min_score
+
+    ang = jax.vmap(lambda p: _orientation(img, p))(uv)
+    desc = jax.vmap(lambda p, s, a: _descriptor(img, p, s, a))(
+        uv, scale, ang)
+    desc = jnp.where(valid[:, None], desc, 0.0)
+    return Keypoints(uv, scale, ang, score_top, valid, desc)
+
+
+def detect_batch(grays: jnp.ndarray, **kw) -> Keypoints:
+    """vmap detect_and_describe over a batch of images [N,H,W] — the
+    equivalent of DetectFeature's loop (FeatureProc.cpp:103-112)."""
+    return jax.vmap(lambda g: detect_and_describe(g, **kw))(grays)

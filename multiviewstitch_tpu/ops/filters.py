@@ -1,0 +1,104 @@
+"""Match-filter cascade: dedup, photometric SSD, pixel-gap NMS.
+
+Re-design of the reference's serial filter chain (Processor.cpp:644-744):
+  (a) duplicate removal after mapping virtual-view matches back to source
+      pixels through texIndex (std::set dedup, Processor.cpp:649-680)
+  (b) grayscale SSD over a (2*win+1)^2 window <= ssd_err
+      (Processor.cpp:682-710; SSD in Common/Utils.h:221-262)
+  (c) greedy min-pixel-spacing filter: drop a match if EITHER endpoint is
+      within sample_interval px of an already-kept match
+      (Processor.cpp:711-735)
+All three operate on fixed-capacity match buffers with validity masks
+(static shapes under jit); the greedy NMS keeps the reference's sequential
+semantics via a fori_loop whose body is fully vectorized over matches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=())
+def dedup_matches(uv1: jnp.ndarray, uv2: jnp.ndarray, mask: jnp.ndarray):
+    """Mark duplicate (uv1,uv2) integer pixel pairs invalid, keeping one
+    representative each, and return matches sorted by (u1,v1,u2,v2) — the
+    iteration order of the reference's std::set (Processor.cpp:671-680).
+
+    uv1/uv2: [M,2] int32; mask: [M] bool. Returns (uv1, uv2, mask) sorted.
+    """
+    # two int32 keys (coords < 16384 each; x64 is disabled so a single
+    # 64-bit key would silently truncate), lexicographic sort + run dedup
+    stride = 16384
+    ka = uv1[:, 0] * stride + uv1[:, 1]
+    kb = uv2[:, 0] * stride + uv2[:, 1]
+    big = jnp.int32(2 ** 31 - 1)
+    ka = jnp.where(mask, ka, big)
+    kb = jnp.where(mask, kb, big)
+    order = jnp.lexsort((kb, ka))
+    ka_s, kb_s = ka[order], kb[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])])
+    new_mask = (ka_s != big) & first
+    return uv1[order], uv2[order], new_mask
+
+
+def _gather_patch(gray: jnp.ndarray, uv: jnp.ndarray, win: int):
+    """[M, (2win+1)^2] windows around integer centers uv [M,2] (clamped)."""
+    h, w = gray.shape
+    d = jnp.arange(-win, win + 1)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    px = jnp.clip(uv[:, 0, None] + dx.ravel()[None, :], 0, w - 1)
+    py = jnp.clip(uv[:, 1, None] + dy.ravel()[None, :], 0, h - 1)
+    return gray[py, px]
+
+
+@partial(jax.jit, static_argnames=("win",))
+def ssd_filter(gray1: jnp.ndarray, gray2: jnp.ndarray, uv1, uv2, mask,
+               *, win: int, ssd_err: float):
+    """Photometric filter: RMS gray difference over the window <= ssd_err,
+    window fully inside both images (Processor.cpp:689-699). Gray images in
+    the reference's 0..255 scale."""
+    h, w = gray1.shape
+    inb = ((uv1 >= win).all(-1) & (uv2 >= win).all(-1) &
+           (uv1[:, 0] < w - win) & (uv1[:, 1] < h - win) &
+           (uv2[:, 0] < w - win) & (uv2[:, 1] < h - win))
+    p1 = _gather_patch(gray1, uv1, win)
+    p2 = _gather_patch(gray2, uv2, win)
+    diff = p1 - p2
+    rms = jnp.sqrt(jnp.mean(diff * diff, axis=-1))
+    return mask & inb & (rms <= ssd_err)
+
+
+@partial(jax.jit, static_argnames=())
+def gap_filter(uv1, uv2, mask, *, min_gap_sq: jnp.ndarray | float):
+    """Greedy sequential spacing filter (Processor.cpp:711-735): scan matches
+    in order; keep one iff neither endpoint lies within sqrt(min_gap_sq) px
+    of ANY previously kept match's corresponding endpoint."""
+    m = uv1.shape[0]
+    f1 = uv1.astype(jnp.float32)
+    f2 = uv2.astype(jnp.float32)
+
+    def body(k, kept):
+        d1 = jnp.sum((f1 - f1[k]) ** 2, axis=-1)
+        d2 = jnp.sum((f2 - f2[k]) ** 2, axis=-1)
+        conflict = jnp.any(kept & ((d1 <= min_gap_sq) | (d2 <= min_gap_sq)))
+        return kept.at[k].set(mask[k] & ~conflict)
+
+    kept = jnp.zeros((m,), bool)
+    return jax.lax.fori_loop(0, m, body, kept)
+
+
+def margin_mask(height: int, width: int, hl: float, hr: float, vl: float,
+                vr: float, dtype=jnp.float32):
+    """[H,W] multiplicative mask zeroing the detection margins — the
+    reference blanks these bands before SIFT (FeatureProc.cpp:28-43):
+    hl/hr are horizontal (left/right column) ratios, vl/vr vertical."""
+    u = jnp.arange(width)
+    v = jnp.arange(height)
+    um = (u >= hl * width) & (u < width * (1.0 - hr))
+    vm = (v >= vl * height) & (v < height * (1.0 - vr))
+    return (vm[:, None] & um[None, :]).astype(dtype)
