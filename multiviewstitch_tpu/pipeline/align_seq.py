@@ -1,0 +1,248 @@
+"""Sequence alignment pipeline: the TPU-native AlignmentSeq.
+
+Orchestrates the reference's main reconstruction flow
+(Processor::AlignmentSeq + CalcSimilarityTransformationSeq,
+Processor.cpp:835-1106 / 514-833) over jitted stages:
+
+  consistency check -> virtual-view synthesis -> feature detect ->
+  per-sequence-pair: all-(frame,view)-pair matching -> dedup -> SSD ->
+  gap NMS -> lift matches to 3D -> adaptive RANSAC outlier pruning ->
+  keyframe pair selection (min residual with >= min_match_count matches,
+  Processor.cpp:746-805) -> SRT solve -> left-compose chain
+  (Processor.cpp:813-826) -> multi-frame point sampling -> visibility
+  filter -> transform into the reference frame -> fused oriented cloud
+  (Processor.cpp:905-1040).
+
+The host loop only sequences stages and carries tiny pytrees; all pixel
+and match math runs on device. Frame/view pair loops are kept explicit
+here so `parallel/` can shard them across a device mesh later.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import StitchConfig
+from ..core.cameras import CameraBatch, unproject_depth_map, pixel_grid
+from ..core.transforms import Similarity, compose, apply_points, rotate_normals
+from ..ops.consistency import check_consistency
+from ..ops.view_synth import synthesize_views, view_angles
+from ..ops.features import detect_and_describe
+from ..ops.match import match_descriptors
+from ..ops.filters import dedup_matches, ssd_filter, gap_filter
+from ..ops.point_sampling import sample_oriented_points, visibility_filter
+from ..solvers.srt import remove_outliers, estimate_srt_ransac
+
+
+@dataclass
+class Sequence:
+    """One RGB-D sequence: gray images [N,H,W] (0..255 scale), disparity
+    [N,H,W], cameras (batch N)."""
+    gray: jnp.ndarray
+    disparity: jnp.ndarray
+    cams: CameraBatch
+
+
+@dataclass
+class PairCandidate:
+    frame_i: int
+    frame_j: int
+    uv1: np.ndarray          # [M,2] source-pixel coords (int)
+    uv2: np.ndarray
+    p1: np.ndarray           # [M,3] 3D points lifted from frame i
+    p2: np.ndarray
+    mask: np.ndarray         # [M] bool after the full filter cascade
+    residual: float
+    num_matches: int
+
+
+@dataclass
+class AlignResult:
+    transforms: List[Similarity]      # per sequence -> final frame
+    keyframes: List[Tuple[int, int]]  # chosen (frame_i, frame_j) per pair
+    residuals: List[float]
+    metrics: Dict[str, float] = field(default_factory=dict)
+
+
+def _prep_frame_views(seq: Sequence, cfg: StitchConfig, frame: int):
+    """Synthesize views + features for one frame; returns per-view
+    (keypoints, tex_index)."""
+    angles = view_angles(cfg.view_count, cfg.rot_angle)
+    sv = synthesize_views(seq.gray[frame][..., None], seq.cams.K[frame],
+                         seq.cams.R[frame], angles, axis=cfg.axis)
+    margins = (cfg.hl_margin_ratio, cfg.hr_margin_ratio,
+               cfg.vl_margin_ratio, cfg.vr_margin_ratio)
+    kps = []
+    for v in range(cfg.view_count):
+        kp = detect_and_describe(sv.images[v, ..., 0],
+                                 max_keypoints=cfg.max_keypoints,
+                                 margins=margins)
+        kps.append(kp)
+    return kps, sv.tex_index, sv.images
+
+
+def _lift_to_3d(pts_map, valid_map, uv):
+    """Gather per-pixel world points at integer uv [M,2]."""
+    h, w = valid_map.shape
+    u = jnp.clip(uv[:, 0], 0, w - 1)
+    v = jnp.clip(uv[:, 1], 0, h - 1)
+    p = pts_map[v, u]
+    ok = valid_map[v, u]
+    return p, ok
+
+
+def match_sequence_pair(
+    seq1: Sequence, seq2: Sequence, cfg: StitchConfig, key,
+) -> Tuple[Similarity, PairCandidate, List[PairCandidate]]:
+    """Find the best keyframe pair between two sequences and solve its SRT.
+
+    Mirrors the per-pair body of CalcSimilarityTransformationSeq
+    (Processor.cpp:629-833)."""
+    n1 = seq1.gray.shape[0]
+    n2 = seq2.gray.shape[0]
+    h, w = seq1.gray.shape[1:]
+
+    # unprojected per-pixel world points for lifting matches to 3D
+    maps1, maps2 = [], []
+    for seq, maps in ((seq1, maps1), (seq2, maps2)):
+        for i in range(seq.gray.shape[0]):
+            pm, vm = unproject_depth_map(seq.cams[i], seq.disparity[i],
+                                         cfg.min_dsp, cfg.max_dsp)
+            maps.append((pm, vm))
+
+    # features on all (frame, view) images of both sequences
+    feats1 = [_prep_frame_views(seq1, cfg, i) for i in range(n1)]
+    feats2 = [_prep_frame_views(seq2, cfg, j) for j in range(n2)]
+
+    candidates: List[PairCandidate] = []
+    for i in range(n1):
+        kps1, tex1, _ = feats1[i]
+        for j in range(n2):
+            kps2, tex2, _ = feats2[j]
+            # gather matches across all view pairs (view_count^2 pairs)
+            uv1_all, uv2_all, ok_all = [], [], []
+            for vi in range(cfg.view_count):
+                for vj in range(cfg.view_count):
+                    m = match_descriptors(
+                        kps1[vi].desc, kps1[vi].valid,
+                        kps2[vj].desc, kps2[vj].valid,
+                        distmax=cfg.distmax, ratiomax=cfg.ratiomax)
+                    kuv1 = kps1[vi].uv[m.idx1]
+                    kuv2 = kps2[vj].uv[m.idx2]
+                    # map through texIndex to source-image pixels
+                    iu1 = jnp.clip(kuv1.astype(jnp.int32), 0,
+                                   jnp.asarray([w - 1, h - 1]))
+                    iu2 = jnp.clip(kuv2.astype(jnp.int32), 0,
+                                   jnp.asarray([w - 1, h - 1]))
+                    t1 = tex1[vi][iu1[:, 1], iu1[:, 0]]
+                    t2 = tex2[vj][iu2[:, 1], iu2[:, 0]]
+                    ok = m.valid & (t1 >= 0) & (t2 >= 0)
+                    suv1 = jnp.stack([t1 % w, t1 // w], -1)
+                    suv2 = jnp.stack([t2 % w, t2 // w], -1)
+                    uv1_all.append(suv1)
+                    uv2_all.append(suv2)
+                    ok_all.append(ok)
+            uv1 = jnp.concatenate(uv1_all)
+            uv2 = jnp.concatenate(uv2_all)
+            ok = jnp.concatenate(ok_all)
+
+            # filter cascade (dedup -> SSD -> gap NMS), source-pixel space
+            uv1, uv2, ok = dedup_matches(uv1, uv2, ok)
+            ok = ssd_filter(seq1.gray[i], seq2.gray[j], uv1, uv2, ok,
+                            win=cfg.ssd_win, ssd_err=cfg.ssd_err)
+            ok = gap_filter(uv1, uv2, ok,
+                            min_gap_sq=float(cfg.sample_interval) ** 2)
+
+            # lift to 3D through the depth maps
+            p1, ok1 = _lift_to_3d(*maps1[i], uv1)
+            p2, ok2 = _lift_to_3d(*maps2[j], uv2)
+            ok = ok & ok1 & ok2
+
+            if int(ok.sum()) < 3:
+                continue
+
+            key, sub = jax.random.split(key)
+            mask, T, res = remove_outliers(
+                p1, p2, ok, seq1.cams[i], seq2.cams[j], sub,
+                pixel_err=cfg.pixel_err,
+                adapt_ratio=cfg.adapt_pixel_err_ratio,
+                iter_num=cfg.iter_num, rounds=cfg.ransac_rounds)
+            nm = int(mask.sum())
+            candidates.append(PairCandidate(
+                i, j, np.asarray(uv1), np.asarray(uv2),
+                np.asarray(p1), np.asarray(p2), np.asarray(mask),
+                float(res), nm))
+
+    # keyframe selection: min residual among pairs with enough matches
+    # (Processor.cpp:750-765); abort like the reference if none qualify
+    eligible = [c for c in candidates if c.num_matches >= cfg.min_match_count]
+    if not eligible:
+        raise RuntimeError(
+            f"no frame pair with >= {cfg.min_match_count} matches "
+            f"(best had {max((c.num_matches for c in candidates), default=0)})"
+            " — cannot align sequences (Processor.cpp:794-800 analogue)")
+    best = min(eligible, key=lambda c: c.residual)
+
+    # final solve on the winning pair's surviving matches
+    key, sub = jax.random.split(key)
+    T, res = estimate_srt_ransac(
+        jnp.asarray(best.p1), jnp.asarray(best.p2), jnp.asarray(best.mask),
+        seq1.cams[best.frame_i], seq2.cams[best.frame_j], sub,
+        iter_num=cfg.iter_num)
+    return T, best, candidates
+
+
+def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
+                    seed: int = 0) -> AlignResult:
+    """Chain all sequences into the last sequence's frame
+    (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833)."""
+    key = jax.random.key(seed)
+    edges: List[Similarity] = []
+    keyframes, residuals = [], []
+    for k in range(len(seqs) - 1):
+        key, sub = jax.random.split(key)
+        T, best, _ = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub)
+        edges.append(T)
+        keyframes.append((best.frame_i, best.frame_j))
+        residuals.append(best.residual)
+
+    # cumulative transforms: sequence k -> final frame (left-compose chain,
+    # Processor.cpp:819-823)
+    transforms = []
+    for k in range(len(seqs)):
+        acc = Similarity.identity()
+        for j in range(k, len(edges)):
+            acc = compose(edges[j], acc)
+        transforms.append(acc)
+    return AlignResult(transforms, keyframes, residuals)
+
+
+def fuse_sequences(seqs: List[Sequence], result: AlignResult,
+                   cfg: StitchConfig):
+    """Consistency-check depths, sample oriented points per sequence,
+    visibility-filter, and map everything into the reference frame
+    (Processor.cpp:905-1040). Returns (points [P,3], normals [P,3]) numpy."""
+    all_pts, all_nrm = [], []
+    for k, seq in enumerate(seqs):
+        disp = check_consistency(
+            seq.disparity, seq.cams, min_dsp=cfg.min_dsp,
+            max_dsp=cfg.max_dsp, reproj_err=cfg.reproj_err)
+        op = sample_oriented_points(
+            disp, seq.cams, min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp,
+            sample_radius=cfg.sample_radius, nbr_num=cfg.nbr_frm_num,
+            nbr_step=cfg.nbr_frm_step, dsp_err=cfg.dsp_err,
+            conf_min=cfg.conf_min)
+        T = result.transforms[k]
+        for fi in range(op.points.shape[0]):
+            valid = visibility_filter(op.points[fi], op.valid[fi], seq.cams)
+            pts = apply_points(T, op.points[fi])
+            nrm = rotate_normals(T, op.normals[fi])
+            v = np.asarray(valid)
+            all_pts.append(np.asarray(pts)[v])
+            all_nrm.append(np.asarray(nrm)[v])
+    return np.concatenate(all_pts), np.concatenate(all_nrm)

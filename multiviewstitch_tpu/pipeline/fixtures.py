@@ -51,8 +51,12 @@ def uv_sphere(n_lat: int = 24, n_lon: int = 32, radius: float = 0.5,
 
 def ring_cameras(n: int, radius: float = 2.0, height: float = 0.0,
                  width: int = 160, length_focal: float = 120.0,
-                 img_height: int = 120, look_at=(0.0, 0.0, 0.0)) -> CameraBatch:
-    """n cameras on a circle in the y=height plane, all looking at look_at.
+                 img_height: int = 120, look_at=(0.0, 0.0, 0.0),
+                 arc_deg: float = 360.0) -> CameraBatch:
+    """n cameras on a circle (or partial arc of `arc_deg`) in the y=height
+    plane, all looking at look_at. A partial arc with small angular steps
+    mimics the reference's hand-held video sequences (its consistency and
+    agreement tests assume small inter-frame baselines).
 
     Returns a CameraBatch with the reference's convention p_c = R p_w + t.
     """
@@ -66,7 +70,11 @@ def ring_cameras(n: int, radius: float = 2.0, height: float = 0.0,
     Rs, ts = [], []
     tgt = np.asarray(look_at, np.float64)
     for i in range(n):
-        ang = 2 * np.pi * i / max(n, 1)
+        if arc_deg >= 360.0:
+            ang = 2 * np.pi * i / max(n, 1)
+        else:
+            step = np.radians(arc_deg) / max(n - 1, 1)
+            ang = (i - (n - 1) / 2) * step
         center = np.array([radius * np.cos(ang), height,
                            radius * np.sin(ang)])
         fwd = tgt - center
@@ -96,13 +104,14 @@ class Scene(NamedTuple):
 def make_scene(n_frames: int = 4, width: int = 160, height: int = 120,
                cam_radius: float = 2.0, bumps: float = 0.12, seed: int = 0,
                transform: Optional[Similarity] = None,
-               n_lat: int = 48, n_lon: int = 64) -> Scene:
+               n_lat: int = 48, n_lon: int = 64,
+               arc_deg: float = 360.0) -> Scene:
     """Render a bumpy-sphere scene. If `transform` is given, the world (mesh
     AND cameras) is mapped through it — two scenes of the same mesh related
     by a known similarity, exactly the multi-sequence stitching setup."""
     verts, faces = uv_sphere(n_lat, n_lon, bumps=bumps, seed=seed)
     cams = ring_cameras(n_frames, radius=cam_radius, width=width,
-                        img_height=height)
+                        img_height=height, arc_deg=arc_deg)
     if transform is not None:
         # map world by T: points x' = sRx+t; camera (R_c, t_c) becomes
         # (R_c R^T, t_c - R_c R^T t ... ) derived from p_c = R_c p_w + t_c
@@ -128,6 +137,33 @@ def make_scene(n_frames: int = 4, width: int = 160, height: int = 120,
     disp = render_sequence(jnp.asarray(verts), jnp.asarray(faces), fmask,
                            cams, height=height, width=width)
     return Scene(verts, faces, cams, np.asarray(disp), transform)
+
+
+def textured_views(scene: Scene, scale: float = 255.0) -> np.ndarray:
+    """View-consistent 'photos' [N,H,W] (0..255): per-pixel albedo is a
+    procedural function of the OBJECT-space surface point, so the same
+    surface point has the same intensity from every view and in every
+    similarity-transformed copy of the scene — ideal for feature-matching
+    and SSD-filter tests (replaces the reference's absent image data)."""
+    from ..core.cameras import unproject_depth_map
+    from ..core.transforms import inverse as sim_inverse, apply_points
+
+    n, h, w = scene.disparity.shape
+    inv = sim_inverse(scene.gt_transform) if scene.gt_transform is not None \
+        else None
+    imgs = []
+    for i in range(n):
+        pts, valid = unproject_depth_map(
+            scene.cams[i], jnp.asarray(scene.disparity[i]), 1e-6, 1e6)
+        p = pts.reshape(-1, 3)
+        if inv is not None:
+            p = apply_points(inv, p)
+        a = (0.5 + 0.22 * jnp.sin(23.0 * p[:, 0]) * jnp.cos(17.0 * p[:, 1])
+             + 0.18 * jnp.sin(31.0 * p[:, 2] + 1.3)
+             + 0.10 * jnp.sin(57.0 * (p[:, 0] + p[:, 1] + p[:, 2])))
+        img = jnp.where(valid.reshape(-1), a * scale, 0.0)
+        imgs.append(np.asarray(img.reshape(h, w), np.float32))
+    return np.stack(imgs)
 
 
 def shade_views(scene: Scene, light=(0.4, 0.7, 0.2)) -> np.ndarray:
