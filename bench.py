@@ -1,0 +1,103 @@
+"""Benchmark: frames/s per chip of the flagship front-end step.
+
+Times the fused per-sequence pipeline front-end (cross-view depth
+consistency + multi-frame oriented point sampling) on VGA-class frames —
+the per-pixel work that dominates the reference's serial CPU pipeline
+(Processor::CheckConsistencyCore O(h*w*refs) loop + GeoRec point sampling).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` compares against the single-thread-CPU-class baseline recorded
+in bench_baseline.json (measured with this same harness on the host CPU via
+JAX CPU backend, which is itself vectorized — i.e., a *conservative* stand-in
+for the reference's scalar C++ loops).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_inputs(n=8, h=480, w=640):
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(0.2, 0.4, size=(n, h, w)).astype(np.float32)
+    K = np.zeros((n, 3, 3), np.float32)
+    K[:, 0, 0] = 520.0
+    K[:, 1, 1] = 520.0
+    K[:, 0, 2] = (w - 1) / 2
+    K[:, 1, 2] = (h - 1) / 2
+    K[:, 2, 2] = 1.0
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+    t = np.zeros((n, 3), np.float32)
+    t[:, 0] = np.linspace(0, 0.3, n)
+    return disp, K, R, t
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.core.cameras import CameraBatch
+    from multiviewstitch_tpu.ops.consistency import check_consistency
+    from multiviewstitch_tpu.ops.point_sampling import sample_oriented_points
+
+    n, h, w = 8, 480, 640
+    disp, K, R, t = make_inputs(n, h, w)
+
+    REPS = 10  # chained on-device so per-step cost excludes host round trips
+
+    @jax.jit
+    def chained(disp, K, R, t):
+        cams = CameraBatch(K, R, t, w, h)
+        total = 0.0
+        d = disp
+        for _ in range(REPS):
+            f = check_consistency(d, cams, min_dsp=1e-3, max_dsp=10.0,
+                                  reproj_err=4)
+            op = sample_oriented_points(f, cams, min_dsp=1e-3,
+                                        max_dsp=10.0, sample_radius=2,
+                                        nbr_num=2, nbr_step=1, dsp_err=0.05,
+                                        conf_min=0.5)
+            total = total + op.valid.sum()
+            d = jnp.where(f > 0, f, d)   # real dependency: no CSE between reps
+        return d, total
+
+    args = [jnp.asarray(x) for x in (disp, K, R, t)]
+    out = chained(*args)
+    _ = float(out[1])                    # compile + warm up, full sync
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(*args)
+        _ = float(out[1])                # host fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    # subtract one fixed host round trip (probe warmed so its own compile
+    # doesn't count)
+    probe = jax.jit(lambda x: x[0, 0, 0] + 0.0)
+    _ = float(probe(args[0]))
+    t0 = time.perf_counter()
+    _ = float(probe(args[0]))
+    rt = time.perf_counter() - t0
+    dt = max(best - rt, 1e-9) / REPS
+    fps = n / dt
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    vs = None
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("frames_per_s"):
+            vs = fps / base["frames_per_s"]
+
+    print(json.dumps({
+        "metric": "frontend_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s (8x VGA consistency+sampling)",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
