@@ -119,6 +119,33 @@ def chain(transforms: Similarity) -> Similarity:
                       jnp.concatenate([cum.t, ident.t]))
 
 
+def rotation_between(a, b, eps: float = 1e-12):
+    """Rotation matrix taking direction a to direction b (the reference's
+    CalcRotation, Common/Utils.h:140-149: axis = a x b, angle from the dot
+    product). Falls back to identity for parallel vectors."""
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
+    axis = jnp.cross(a, b)
+    s = jnp.linalg.norm(axis, axis=-1)
+    c = jnp.sum(a * b, axis=-1)
+    angle = jnp.arctan2(s, c)
+    safe_axis = jnp.where(s[..., None] > eps, axis / jnp.maximum(
+        s[..., None], eps), jnp.asarray([1.0, 0.0, 0.0], a.dtype))
+    R = rotation_about_axis(safe_axis, angle)
+    # antiparallel: rotate pi about any perpendicular axis
+    perp = jnp.cross(a, jnp.asarray([1.0, 0.0, 0.0], a.dtype))
+    perp2 = jnp.cross(a, jnp.asarray([0.0, 1.0, 0.0], a.dtype))
+    perp = jnp.where(jnp.linalg.norm(perp, axis=-1, keepdims=True) > 1e-6,
+                     perp, perp2)
+    perp = perp / jnp.maximum(jnp.linalg.norm(perp, axis=-1, keepdims=True),
+                              eps)
+    R_pi = rotation_about_axis(perp, jnp.asarray(jnp.pi, a.dtype))
+    anti = (s <= eps) & (c < 0)
+    return jnp.where(anti[..., None, None], R_pi,
+                     jnp.where((s <= eps)[..., None, None],
+                               jnp.eye(3, dtype=a.dtype), R))
+
+
 def rotation_about_axis(axis, angle):
     """Rodrigues rotation matrix about unit axis [...,3] by angle [...] (rad).
 
