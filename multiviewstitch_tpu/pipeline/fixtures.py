@@ -24,7 +24,9 @@ def uv_sphere(n_lat: int = 24, n_lon: int = 32, radius: float = 0.5,
     """UV-sphere mesh (optionally with low-frequency radial bumps so views
     are photometrically/geometrically distinctive) -> (verts [V,3] f32,
     faces [F,3] i32)."""
-    lat = np.linspace(0, np.pi, n_lat)
+    # open interval: the poles would otherwise be n_lon duplicated vertices
+    # (zero-area triangles, zero point spacing)
+    lat = np.linspace(0, np.pi, n_lat + 2)[1:-1]
     lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
     th, ph = np.meshgrid(lat, lon, indexing="ij")
     r = np.full_like(th, radius)

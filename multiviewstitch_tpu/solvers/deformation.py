@@ -1,0 +1,349 @@
+"""Non-rigid surface deformation: ARAP local-global solve in JAX.
+
+Re-design of Deformation/Deformation.{h,cpp} (674 LoC + CGAL): the reference
+builds a CGAL halfedge mesh, picks control vertices by greedy decimation
+(UniformSampling, Deformation.cpp:63-106), finds a target position per
+control by a kd-tree radius search + normal/projection filters
+(Deform, Deformation.cpp:232-356), smooths control displacements twice over
+8-NN uniform weights (358-381), and hands everything to CGAL
+``Surface_mesh_deformation`` (ARAP: preprocess() factorization +
+deform(5, 1e-4), 383-400).
+
+Here the whole solve is TPU-native (BASELINE: "embedded-deformation-graph
+Gauss-Newton ... as a JAX sparse solver"):
+  - correspondence search = chunked distance matmuls on the MXU + masked
+    top-k (exact, replaces the approximate FLANN radius search)
+  - ARAP = classic local-global (Sorkine-Alexa 2007), the same energy CGAL
+    minimizes: local rotation fitting via batched 3x3 SVDs, global step a
+    Laplacian solve by Jacobi-preconditioned CG with edge scatter matvecs —
+    static shapes, fully jitted, scales to graph-block sharding (parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# control sampling + knn weights (host-side graph construction)
+# ---------------------------------------------------------------------------
+
+def uniform_sampling(points: np.ndarray, k: int = 16) -> np.ndarray:
+    """Greedy decimation (UniformSampling, Deformation.cpp:63-106): walk
+    vertices in index order; keep a vertex unless already removed, then
+    remove its k nearest neighbors. Returns kept indices (sampIdx)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    removed = np.zeros(len(points), bool)
+    keep = []
+    _, knn = tree.query(points, k=min(k, len(points)))
+    for i in range(len(points)):
+        if not removed[i]:
+            keep.append(i)
+            removed[knn[i]] = True
+            removed[i] = False
+    return np.asarray(keep, np.int64)
+
+
+def knn_graph(points: np.ndarray, k: int = 8
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """(K+1)-NN (self included) with uniform 1/(K+1) weights — the
+    reference's KNearestNeighbor(8) (Deformation.cpp:108-153)."""
+    from scipy.spatial import cKDTree
+
+    kk = min(k + 1, len(points))
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=kk)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    w = np.full(idx.shape, 1.0 / (k + 1), np.float32)
+    return idx.astype(np.int32), w
+
+
+# ---------------------------------------------------------------------------
+# correspondence search
+# ---------------------------------------------------------------------------
+
+class Correspondences(NamedTuple):
+    targets: jnp.ndarray   # [C,3] target positions (controls when invalid)
+    valid: jnp.ndarray     # [C] bool
+
+
+@partial(jax.jit, static_argnames=("max_neighbors",))
+def find_correspondences(
+    controls: jnp.ndarray,          # [C,3] control positions
+    control_normals: jnp.ndarray,   # [C,3]
+    tpts: jnp.ndarray,              # [T,3] scan points
+    tnormals: jnp.ndarray,          # [T,3]
+    *,
+    proj_len_err: float = 100.0,
+    proj_dist_err: float = 100.0,
+    max_neighbors: int = 8,
+) -> Correspondences:
+    """Per-control target search (Deform, Deformation.cpp:266-356):
+    candidates within sqrt(2)*nearest distance, same-facing normals, ranked
+    by (projDist, |projLen|), best <=8 averaged; reject by mean projections
+    and near-perpendicular displacement direction."""
+    # distance matrix on the MXU
+    d2 = (jnp.sum(controls ** 2, -1, keepdims=True)
+          - 2.0 * jnp.dot(controls, tpts.T,
+                          preferred_element_type=jnp.float32)
+          + jnp.sum(tpts ** 2, -1)[None, :])               # [C,T]
+    d2 = jnp.maximum(d2, 0.0)
+    d2min = jnp.min(d2, axis=1, keepdims=True)
+    in_radius = d2 <= 2.0 * d2min + 1e-12                  # flann squared-L2
+
+    nrm = control_normals / jnp.maximum(
+        jnp.linalg.norm(control_normals, axis=-1, keepdims=True), 1e-12)
+    facing = jnp.dot(nrm, tnormals.T,
+                     preferred_element_type=jnp.float32) > 0
+    ok = in_radius & facing                                # [C,T]
+
+    dirs = tpts[None, :, :] - controls[:, None, :]         # [C,T,3]
+    proj_len = jnp.einsum("ctk,ck->ct", dirs, nrm)
+    proj_dist = jnp.sqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, -1) - proj_len ** 2, 0.0))
+
+    # rank: smallest projDist first, |projLen| tie-break
+    score = proj_dist + 1e-6 * jnp.abs(proj_len)
+    score = jnp.where(ok, score, jnp.inf)
+    k = min(max_neighbors, score.shape[1])
+    top_score, top_idx = jax.lax.top_k(-score, k)
+    top_ok = jnp.isfinite(-top_score)
+    cnt = jnp.maximum(top_ok.sum(-1), 1)
+
+    def gather(c_mat):
+        return jnp.take_along_axis(c_mat, top_idx, axis=1)
+
+    m_len = jnp.where(top_ok, gather(proj_len), 0.0).sum(-1) / cnt
+    m_dist = jnp.where(top_ok, gather(proj_dist), 0.0).sum(-1) / cnt
+    m_pts = (jnp.where(top_ok[..., None], tpts[top_idx], 0.0).sum(-2) /
+             cnt[:, None])
+
+    has_any = top_ok.any(-1)
+    accept = has_any & (m_len < proj_len_err) & (m_dist < proj_dist_err)
+    disp = m_pts - controls
+    cosang = jnp.abs(jnp.einsum("ck,ck->c", disp, nrm) /
+                     jnp.maximum(jnp.linalg.norm(disp, axis=-1), 1e-12))
+    accept &= cosang >= 0.1                                # (Deform:352)
+    targets = jnp.where(accept[:, None], m_pts, controls)
+    return Correspondences(targets, accept)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def smooth_displacements(controls, orig, nbr_idx, nbr_w, *, iters: int = 2):
+    """Control-displacement smoothing (Deformation.cpp:358-381):
+    c_i <- orig_i + sum_j w_ij (c_j - orig_j), `iters` rounds."""
+    c = controls
+    for _ in range(iters):
+        disp = c - orig
+        c = orig + jnp.einsum("ck,ckd->cd", nbr_w, disp[nbr_idx])
+    return c
+
+
+# ---------------------------------------------------------------------------
+# ARAP local-global solve
+# ---------------------------------------------------------------------------
+
+def mesh_edges(faces: np.ndarray) -> np.ndarray:
+    """Unique undirected edges [E,2] from a face list."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0).astype(np.int32)
+
+
+def cotangent_weights(verts: np.ndarray, faces: np.ndarray,
+                      edges: np.ndarray) -> np.ndarray:
+    """Cotangent edge weights (CGAL Surface_mesh_deformation's default ARAP
+    weighting), clamped to >= 1e-3 for robustness."""
+    v = verts
+    w = {}
+    for tri in faces:
+        for k in range(3):
+            i, j, o = tri[k], tri[(k + 1) % 3], tri[(k + 2) % 3]
+            a = v[i] - v[o]
+            b = v[j] - v[o]
+            cos = float(a @ b)
+            sin = float(np.linalg.norm(np.cross(a, b)))
+            cot = cos / max(sin, 1e-9)
+            key = (min(i, j), max(i, j))
+            w[key] = w.get(key, 0.0) + 0.5 * cot
+    out = np.asarray([max(w.get((int(a), int(b)), 0.0), 1e-3)
+                      for a, b in edges], np.float32)
+    return out
+
+
+class ARAPProblem(NamedTuple):
+    rest: jnp.ndarray        # [V,3] rest positions
+    edges: jnp.ndarray       # [E,2]
+    weights: jnp.ndarray     # [E]
+    constrained: jnp.ndarray  # [V] bool
+    targets: jnp.ndarray     # [V,3] target for constrained verts
+
+
+def _laplacian_matvec(p, edges, w, free):
+    """(L p) restricted to free rows; L = sum_e w_e (e_i - e_j)(e_i - e_j)^T."""
+    i, j = edges[:, 0], edges[:, 1]
+    diff = w[:, None] * (p[i] - p[j])
+    out = jnp.zeros_like(p)
+    out = out.at[i].add(diff)
+    out = out.at[j].add(-diff)
+    return jnp.where(free[:, None], out, 0.0)
+
+
+def _fit_rotations(p, q, edges, w, nv):
+    """Per-vertex rotation best aligning rest edge vectors to current ones:
+    R_i = polar(S_i), S_i = sum_j w_ij (g_i-g_j)(p_i-p_j)^T (batched SVD)."""
+    i, j = edges[:, 0], edges[:, 1]
+    gd = p[i] - p[j]                         # rest
+    pd = q[i] - q[j]                         # deformed
+    contrib = w[:, None, None] * gd[:, :, None] * pd[:, None, :]
+    S = jnp.zeros((nv, 3, 3)).at[i].add(contrib).at[j].add(contrib)
+    U, _, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(jnp.einsum("nij,njk->nik",
+                                    jnp.swapaxes(Vt, 1, 2),
+                                    jnp.swapaxes(U, 1, 2)))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+    # R = V D U^T maps rest -> deformed
+    R = jnp.einsum("nji,nj,nkj->nik", Vt, D, U)
+    return R
+
+
+def _cg(matvec, b, x0, iters: int, tol: float, precond):
+    def body(state):
+        x, r, z, pdir, rz, k = state
+        Ap = matvec(pdir)
+        alpha = rz / jnp.maximum(jnp.vdot(pdir, Ap), 1e-20)
+        x = x + alpha * pdir
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        pdir = z + beta * pdir
+        return x, r, z, pdir, rz_new, k + 1
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return (k < iters) & (jnp.linalg.norm(r) > tol)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), 0)
+    x, *_ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+@partial(jax.jit, static_argnames=("outer_iters", "cg_iters"))
+def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
+               cg_iters: int = 200, tol: float = 1e-4) -> jnp.ndarray:
+    """ARAP local-global iterations (the CGAL deform(5, 1e-4) equivalent,
+    Deformation.cpp:393-398): constrained vertices pinned to their targets,
+    free vertices solved from the rotation-augmented Poisson system."""
+    rest = prob.rest
+    nv = rest.shape[0]
+    free = ~prob.constrained
+    edges, w = prob.edges, prob.weights
+    i, j = edges[:, 0], edges[:, 1]
+
+    # diagonal (Jacobi) preconditioner of the free-free Laplacian block
+    deg = (jnp.zeros(nv).at[i].add(w).at[j].add(w))
+    dinv = jnp.where(free, 1.0 / jnp.maximum(deg, 1e-9), 1.0)
+
+    p = jnp.where(prob.constrained[:, None], prob.targets, rest)
+
+    def outer(it, p):
+        R = _fit_rotations(rest, p, edges, w, nv)
+        # rhs_i = sum_j w/2 (R_i + R_j)(g_i - g_j)
+        gd = rest[i] - rest[j]
+        Rij = 0.5 * (R[i] + R[j])
+        rot_gd = w[:, None] * jnp.einsum("eab,eb->ea", Rij, gd)
+        b = jnp.zeros_like(p).at[i].add(rot_gd).at[j].add(-rot_gd)
+        # move constrained contribution to the rhs
+        b = b - _laplacian_matvec(
+            jnp.where(prob.constrained[:, None], p, 0.0), edges, w,
+            jnp.ones_like(free))
+        b = jnp.where(free[:, None], b, 0.0)
+
+        mv = lambda x: _laplacian_matvec(
+            jnp.where(free[:, None], x, 0.0), edges, w, free)
+        pre = lambda r: dinv[:, None] * r
+        x0 = jnp.where(free[:, None], p, 0.0)
+        x = _cg(mv, b, x0, cg_iters, tol, pre)
+        return jnp.where(free[:, None], x, p)
+
+    p = jax.lax.fori_loop(0, outer_iters, outer, p)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# full pipeline wrapper (the reference's Deformation class)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Deformer:
+    """Mirror of the reference Deformation object lifecycle: construct with
+    a mesh, call deform(scan_points, scan_normals, ...) repeatedly; the
+    deformed geometry becomes the new rest state (overwrite_initial_geometry,
+    Deformation.cpp:399)."""
+    vertices: np.ndarray
+    faces: np.ndarray
+    normals: np.ndarray
+    sample_idx: np.ndarray = None
+    _edges: np.ndarray = None
+    _weights: np.ndarray = None
+
+    def __post_init__(self):
+        from ..ops.mesh_normals import vertex_normals
+        if self.normals is None:
+            self.normals = np.asarray(vertex_normals(
+                jnp.asarray(self.vertices), jnp.asarray(self.faces)))
+        if self.sample_idx is None:
+            self.sample_idx = uniform_sampling(self.vertices)
+        self._edges = mesh_edges(self.faces)
+        self._weights = cotangent_weights(self.vertices, self.faces,
+                                          self._edges)
+
+    def deform(self, tpts: np.ndarray, tnormals: np.ndarray,
+               proj_len_err: float = 100.0, proj_dist_err: float = 100.0,
+               outer_iters: int = 5) -> np.ndarray:
+        """One full Deform() pass (Deformation.cpp:232-401). Returns and
+        stores the deformed vertices."""
+        sidx = self.sample_idx
+        controls = self.vertices[sidx]
+        cnorms = self.normals[sidx]
+
+        corr = find_correspondences(
+            jnp.asarray(controls), jnp.asarray(cnorms),
+            jnp.asarray(tpts, np.float32), jnp.asarray(tnormals, np.float32),
+            proj_len_err=proj_len_err, proj_dist_err=proj_dist_err)
+
+        nbr_idx, nbr_w = knn_graph(controls, 8)
+        smoothed = smooth_displacements(
+            corr.targets, jnp.asarray(controls),
+            jnp.asarray(nbr_idx), jnp.asarray(nbr_w))
+
+        constrained = np.zeros(len(self.vertices), bool)
+        constrained[sidx] = True
+        targets = jnp.asarray(self.vertices).at[jnp.asarray(sidx)].set(
+            smoothed)
+
+        prob = ARAPProblem(jnp.asarray(self.vertices),
+                           jnp.asarray(self._edges),
+                           jnp.asarray(self._weights),
+                           jnp.asarray(constrained), targets)
+        out = np.asarray(arap_solve(prob, outer_iters=outer_iters))
+        self.vertices = out
+        # recompute normals for the next pass (exportOBJ also recomputes,
+        # Deformation.h:174-221)
+        from ..ops.mesh_normals import vertex_normals
+        self.normals = np.asarray(vertex_normals(
+            jnp.asarray(out), jnp.asarray(self.faces)))
+        return out

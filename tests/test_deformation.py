@@ -1,0 +1,144 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiviewstitch_tpu.pipeline.fixtures import uv_sphere
+from multiviewstitch_tpu.ops.mesh_normals import vertex_normals
+from multiviewstitch_tpu.solvers import deformation as D
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    v, f = uv_sphere(20, 28, radius=1.0)
+    return v, f
+
+
+def test_uniform_sampling_spacing(sphere):
+    v, f = sphere
+    idx = D.uniform_sampling(v, k=16)
+    assert 10 < len(idx) < len(v) / 4
+    # kept points are spread out: nearest kept-to-kept distance above the
+    # typical vertex spacing
+    kept = v[idx]
+    d2 = ((kept[:, None] - kept[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    assert np.sqrt(d2.min(1)).min() > 0.05
+
+
+def test_knn_graph(sphere):
+    v, f = sphere
+    idx = D.uniform_sampling(v)
+    nbr, w = D.knn_graph(v[idx], 8)
+    assert nbr.shape == (len(idx), 9)
+    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-5)
+    # self is among neighbors
+    assert (nbr == np.arange(len(idx))[:, None]).any(1).all()
+
+
+def test_arap_rigid_motion_zero_energy(sphere):
+    """Rigidly moving all constraints must reproduce the rigid motion
+    everywhere (ARAP invariance — SURVEY §4 test strategy)."""
+    v, f = sphere
+    edges = D.mesh_edges(f)
+    w = D.cotangent_weights(v, f, edges)
+    ang = np.radians(30)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, -0.2, 0.5], np.float32)
+    moved = (R @ v.T).T + t
+
+    constrained = np.zeros(len(v), bool)
+    constrained[D.uniform_sampling(v)] = True
+    targets = jnp.asarray(np.where(constrained[:, None], moved, 0.0))
+    prob = D.ARAPProblem(jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+                         jnp.asarray(constrained), targets)
+    out = np.asarray(D.arap_solve(prob, outer_iters=8, cg_iters=300))
+    err = np.linalg.norm(out - moved, axis=1)
+    assert err.max() < 0.02
+
+
+def test_arap_local_bump_stays_local(sphere):
+    v, f = sphere
+    edges = D.mesh_edges(f)
+    w = D.cotangent_weights(v, f, edges)
+    # pin most samples in place, push one sample outward
+    sidx = D.uniform_sampling(v)
+    constrained = np.zeros(len(v), bool)
+    constrained[sidx] = True
+    targets = v.copy()
+    pushed = sidx[0]
+    targets[pushed] = v[pushed] * 1.3
+    prob = D.ARAPProblem(jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+                         jnp.asarray(constrained), jnp.asarray(targets))
+    out = np.asarray(D.arap_solve(prob, outer_iters=5))
+    # pushed vertex reaches (near) its target
+    assert np.linalg.norm(out[pushed] - targets[pushed]) < 0.05
+    # far side of the sphere barely moves
+    far = v @ (v[pushed] / np.linalg.norm(v[pushed])) < -0.5
+    far &= ~constrained
+    assert np.linalg.norm(out[far] - v[far], axis=1).max() < 0.05
+
+
+def test_find_correspondences_plane():
+    # controls on z=0 plane, scan on z=0.1 plane directly above
+    g = np.linspace(-1, 1, 8).astype(np.float32)
+    xx, yy = np.meshgrid(g, g)
+    controls = np.stack([xx.ravel(), yy.ravel(), np.zeros(64, np.float32)],
+                        -1)
+    normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (64, 1))
+    tpts = controls + np.array([0, 0, 0.1], np.float32)
+    tnorm = normals.copy()
+    corr = D.find_correspondences(jnp.asarray(controls), jnp.asarray(normals),
+                                  jnp.asarray(tpts), jnp.asarray(tnorm),
+                                  proj_len_err=1.0, proj_dist_err=1.0)
+    assert np.asarray(corr.valid).all()
+    np.testing.assert_allclose(np.asarray(corr.targets)[:, 2], 0.1, atol=1e-5)
+
+
+def test_find_correspondences_rejects_backfacing():
+    controls = np.zeros((4, 3), np.float32)
+    controls[:, 0] = np.arange(4)
+    normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (4, 1))
+    tpts = controls + np.array([0, 0, 0.1], np.float32)
+    tnorm = -normals  # opposite facing
+    corr = D.find_correspondences(jnp.asarray(controls), jnp.asarray(normals),
+                                  jnp.asarray(tpts), jnp.asarray(tnorm))
+    assert not np.asarray(corr.valid).any()
+    # invalid controls keep their position as target
+    np.testing.assert_allclose(np.asarray(corr.targets), controls, atol=1e-6)
+
+
+def test_smooth_displacements_uniformity():
+    # identical displacement everywhere is a fixed point
+    c0 = np.random.default_rng(0).normal(size=(30, 3)).astype(np.float32)
+    disp = np.array([0.1, -0.05, 0.2], np.float32)
+    nbr, w = D.knn_graph(c0, 8)
+    out = np.asarray(D.smooth_displacements(
+        jnp.asarray(c0 + disp), jnp.asarray(c0), jnp.asarray(nbr),
+        jnp.asarray(w)))
+    np.testing.assert_allclose(out, c0 + disp, atol=1e-5)
+
+
+def test_deformer_sphere_to_ellipsoid(sphere):
+    """Full pipeline: deform a sphere toward an ellipsoid scan."""
+    v, f = sphere
+    scan_scale = np.array([1.15, 1.0, 0.9], np.float32)
+    sv, sf = uv_sphere(32, 44, radius=1.0)
+    scan = sv * scan_scale
+    snorm = np.asarray(vertex_normals(jnp.asarray(scan), jnp.asarray(sf)))
+
+    d = D.Deformer(v.copy(), f, None)
+    before = _sphere_to_scan_rms(v, scan_scale)
+    # repeated passes converge geometrically (each pass re-finds
+    # correspondences from the updated rest state; the reference's
+    # displacement smoothing intentionally damps each step)
+    for _ in range(4):
+        out = d.deform(scan, snorm, 100.0, 100.0)
+    after = _sphere_to_scan_rms(out, scan_scale)
+    assert after < 0.4 * before, (before, after)
+
+
+def _sphere_to_scan_rms(pts, scale):
+    # implicit ellipsoid distance proxy: | |p/scale| - 1 | * mean(scale)
+    q = pts / scale
+    return float(np.sqrt(np.mean((np.linalg.norm(q, axis=1) - 1.0) ** 2)))
