@@ -1,0 +1,227 @@
+"""mvs CLI: align / deform / render / pipeline / bench.
+
+Replaces the reference's two-mode dispatcher (``MultiViewStitch.exe
+<config> -a <int>``, main.cpp:10-36) with explicit subcommands. The legacy
+config format is accepted via --config (config.py reads the reference's
+config.txt + imgPathList.txt). ``--demo`` runs each stage on synthetic
+fixtures (the reference's datasets are not public — SURVEY §6).
+
+Usage:
+  python -m multiviewstitch_tpu.cli pipeline --demo --workdir /tmp/mvs
+  python -m multiviewstitch_tpu.cli align  --config config.txt
+  python -m multiviewstitch_tpu.cli deform --demo
+  python -m multiviewstitch_tpu.cli render --workdir /tmp/mvs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str):
+    print(f"[mvs] {msg}", flush=True)
+
+
+def _build_demo_sequences(cfg, n_frames=5, width=128, height=96):
+    import jax.numpy as jnp
+    from .core.transforms import Similarity
+    from .pipeline.fixtures import make_scene, textured_views
+    from .pipeline.align_seq import Sequence
+
+    gt = Similarity(jnp.asarray(1.25, jnp.float32),
+                    jnp.asarray(np.array(
+                        [[0.9689124, 0.0, 0.24740396],
+                         [0.0, 1.0, 0.0],
+                         [-0.24740396, 0.0, 0.9689124]], np.float32)),
+                    jnp.asarray([0.1, -0.05, 0.15], jnp.float32))
+    base = make_scene(n_frames=n_frames, width=width, height=height,
+                      bumps=0.15, n_lat=64, n_lon=96, arc_deg=45.0)
+    moved = make_scene(n_frames=n_frames, width=width, height=height,
+                       bumps=0.15, n_lat=64, n_lon=96, transform=gt,
+                       arc_deg=45.0)
+    seqs = [
+        Sequence(jnp.asarray(textured_views(base)),
+                 jnp.asarray(base.disparity), base.cams),
+        Sequence(jnp.asarray(textured_views(moved)),
+                 jnp.asarray(moved.disparity), moved.cams),
+    ]
+    return seqs, gt, base, moved
+
+
+def _demo_config():
+    from .config import StitchConfig
+    return StitchConfig().replace(
+        view_count=1, min_match_count=7, iter_num=256, sample_interval=4,
+        ssd_win=3, ssd_err=40.0, reproj_err=4, pixel_err=12.0,
+        adapt_pixel_err_ratio=0.6, hl_margin_ratio=0.02,
+        hr_margin_ratio=0.02, vl_margin_ratio=0.02, vr_margin_ratio=0.02,
+        min_dsp=1e-3, max_dsp=10.0, max_keypoints=256, nbr_frm_num=1,
+        conf_min=0.5, dsp_err=0.05)
+
+
+def cmd_align(args) -> int:
+    """Sequence alignment + fusion + reconstruction (the reference's -a 1
+    AlignmentSeq, Processor.cpp:835-1106)."""
+    from .io.manifest import StageManifest
+    from .io.meshio import write_obj, write_npts
+    from .io.srt import save_srt
+    from .pipeline.align_seq import align_sequences, fuse_sequences
+    from .ops.tsdf import reconstruct
+    from .solvers.unionfind import retain_largest_component
+
+    if not args.demo:
+        _log("non-demo align needs real sequence data; see --demo and "
+             "docs/DATA.md for the expected layout")
+        if not args.config:
+            return 2
+    cfg = _demo_config() if args.demo else None
+    if args.config:
+        from .config import load_legacy_config
+        cfg = load_legacy_config(args.config)
+    t0 = time.time()
+    seqs, gt, base, moved = _build_demo_sequences(cfg)
+    manifest = StageManifest(args.workdir)
+    result_dir = manifest.stage_dir("Result")
+
+    _log(f"aligning {len(seqs)} sequences ...")
+    result = align_sequences(seqs, cfg, seed=0)
+    save_srt(os.path.join(result_dir, "SRT.txt"), result.transforms)
+    _log(f"pose chain solved (residuals {result.residuals}); "
+         f"SRT.txt written")
+
+    pts, nrm = fuse_sequences(seqs, result, cfg)
+    write_npts(os.path.join(result_dir, "PSR.npts"), pts, nrm)
+    _log(f"fused cloud: {len(pts)} oriented points -> PSR.npts")
+
+    # reconstruct in the reference frame: fuse the transformed disparities
+    # of the final sequence (already in the ref frame by construction)
+    verts, faces, _ = reconstruct(
+        moved.disparity, moved.cams, grid=args.grid,
+        min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp)
+    verts, faces, _ = retain_largest_component(verts, faces)
+    write_obj(os.path.join(result_dir, "Model.obj"), verts, None, faces)
+    manifest.mark_done("align", [os.path.join(result_dir, f)
+                                 for f in ("SRT.txt", "PSR.npts",
+                                           "Model.obj")],
+                       metrics={"points": len(pts), "verts": len(verts),
+                                "faces": len(faces)})
+    _log(f"Model.obj: {len(verts)} verts / {len(faces)} faces "
+         f"({time.time()-t0:.1f}s)")
+    return 0
+
+
+def cmd_deform(args) -> int:
+    """Template fitting (the reference's Deform, Processor.cpp:1108-1138)."""
+    from .io.meshio import read_obj, write_obj
+    from .models.template_body import make_template, pose_template
+    from .pipeline.deform_render import deform_stage
+
+    os.makedirs(os.path.join(args.workdir, "Result"), exist_ok=True)
+    tv, tf, tl = make_template()
+    if args.demo:
+        # scan = posed + scaled copy of the template (no real scan data)
+        posed = pose_template(tv, tl, arm_angle_deg=18.0)
+        scan_v = (1.1 * posed + np.array([0.15, 0.0, -0.05])).astype(
+            np.float32)
+        scan_f = tf
+    else:
+        model = os.path.join(args.workdir, "Result", "Model.obj")
+        scan_v, _, scan_f = read_obj(model)
+    view_ray = np.array([0.0, 0.0, 1.0])
+    res = deform_stage(tv, tf, tl, scan_v, scan_f, view_ray,
+                       deform_passes=args.passes,
+                       out_obj=os.path.join(args.workdir, "Result",
+                                            "deform.obj"))
+    _log(f"deform.obj written ({len(res.vertices)} verts)")
+    return 0
+
+
+def cmd_render(args) -> int:
+    """Model -> per-frame depth re-render (the reference's Render +
+    Model2Depth, Processor.cpp:1140-1191)."""
+    from .io.meshio import read_obj
+    from .io.srt import load_srt
+    from .pipeline.deform_render import render_stage
+    from .pipeline.fixtures import ring_cameras
+
+    result_dir = os.path.join(args.workdir, "Result")
+    verts, _, faces = read_obj(os.path.join(result_dir, "deform.obj"))
+    srt_path = os.path.join(result_dir, "SRT.txt")
+    if os.path.exists(srt_path):
+        transforms = load_srt(srt_path)
+    else:
+        from .core.transforms import Similarity
+        transforms = [Similarity.identity()]
+    # demo cameras (real runs would LoadCameras from .act files)
+    cams = ring_cameras(4, radius=3.0, width=160, img_height=120,
+                        arc_deg=60.0,
+                        look_at=tuple(verts.mean(0).tolist()))
+    outs = render_stage(verts, faces, transforms[:1] * 1, [cams],
+                        out_dirs=[args.workdir])
+    cover = float((outs[0] > 0).mean())
+    _log(f"rendered {outs[0].shape[0]} frames, coverage {cover:.1%} -> "
+         f"{args.workdir}/DATA/Render/")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """align -> deform -> render end to end (demo)."""
+    rc = cmd_align(args)
+    if rc:
+        return rc
+    rc = cmd_deform(args)
+    if rc:
+        return rc
+    return cmd_render(args)
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable,
+                            os.path.join(os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__))),
+                                "bench.py")])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mvs", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--workdir", default="./mvs_work")
+    common.add_argument("--config", default=None,
+                        help="legacy reference config.txt")
+    common.add_argument("--demo", action="store_true",
+                        help="run on synthetic fixtures")
+
+    a = sub.add_parser("align", parents=[common])
+    a.add_argument("--grid", type=int, default=96)
+    a.set_defaults(fn=cmd_align)
+
+    d = sub.add_parser("deform", parents=[common])
+    d.add_argument("--passes", type=int, default=2)
+    d.set_defaults(fn=cmd_deform)
+
+    r = sub.add_parser("render", parents=[common])
+    r.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("pipeline", parents=[common])
+    p.add_argument("--grid", type=int, default=96)
+    p.add_argument("--passes", type=int, default=2)
+    p.set_defaults(fn=cmd_pipeline)
+
+    b = sub.add_parser("bench", parents=[common])
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

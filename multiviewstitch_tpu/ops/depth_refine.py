@@ -1,0 +1,94 @@
+"""Variational depth-map refinement (the feature DepthRecovery never shipped).
+
+The reference's DepthRecovery/DepthOptimizer.{h,cpp} is dead code:
+RefineAllDepthMaps loads the model-rendered depths (DATA/Render/_depth*.raw)
+and selects ±2 neighbor frames, but its core (``DepthRefineCore``,
+DepthOptimizer.h:21-28) was never implemented and nothing calls it
+(SURVEY §2 'Depth refinement (dead code)'). This module completes the
+intended feature as a batched variational solve (the BASELINE item
+"DepthRecovery ... as batched variational solves"):
+
+  min_d  Σ w_meas (d - d_meas)^2 + λ_model Σ w_mod (d - d_model)^2
+         + λ_smooth Σ |∇d|^2            (edge-aware weights optional)
+
+solved per frame by Jacobi-preconditioned CG with a 4-neighbor Laplacian
+stencil — one fused jit over the whole [N,H,W] batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _grad_energy_matvec(d, lam_s, wx, wy):
+    """Matvec of the smoothness normal matrix: div(w * grad d)."""
+    dx = (d[:, :, 1:] - d[:, :, :-1]) * wx
+    dy = (d[:, 1:, :] - d[:, :-1, :]) * wy
+    out = jnp.zeros_like(d)
+    out = out.at[:, :, 1:].add(dx)
+    out = out.at[:, :, :-1].add(-dx)
+    out = out.at[:, 1:, :].add(dy)
+    out = out.at[:, :-1, :].add(-dy)
+    return lam_s * out
+
+
+@partial(jax.jit, static_argnames=("iters", "lam_model", "lam_smooth",
+                                   "edge_aware"))
+def refine_depth(
+    d_meas: jnp.ndarray,        # [N,H,W] measured disparity (0 = invalid)
+    d_model: jnp.ndarray,       # [N,H,W] model-rendered disparity (0=none)
+    *,
+    lam_model: float = 0.5,
+    lam_smooth: float = 0.2,
+    iters: int = 100,
+    edge_aware: bool = True,
+) -> jnp.ndarray:
+    """Fuse measured + model-rendered disparity with a smoothness prior.
+    Pixels invalid in BOTH sources stay 0."""
+    w_meas = (d_meas > 0).astype(d_meas.dtype)
+    w_mod = lam_model * (d_model > 0).astype(d_meas.dtype)
+    any_obs = (w_meas + w_mod) > 0
+
+    guide = jnp.where(d_meas > 0, d_meas, d_model)
+    if edge_aware:
+        gx = jnp.abs(guide[:, :, 1:] - guide[:, :, :-1])
+        gy = jnp.abs(guide[:, 1:, :] - guide[:, :-1, :])
+        scale = 10.0 / jnp.maximum(
+            jnp.mean(jnp.where(gx > 0, gx, 0)) + 1e-6, 1e-6)
+        wx = jnp.exp(-gx * scale)
+        wy = jnp.exp(-gy * scale)
+    else:
+        wx = jnp.ones_like(guide[:, :, 1:])
+        wy = jnp.ones_like(guide[:, 1:, :])
+
+    b = w_meas * d_meas + w_mod * d_model
+
+    def matvec(x):
+        return (w_meas + w_mod) * x + _grad_energy_matvec(x, lam_smooth,
+                                                          wx, wy)
+
+    diag = w_meas + w_mod + lam_smooth * 4.0
+    pre = lambda r: r / jnp.maximum(diag, 1e-9)
+
+    x = guide
+    r = b - matvec(x)
+    z = pre(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def body(k, state):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pre(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return x, r, z, z + beta * p, rz_new
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return jnp.where(any_obs, x, 0.0)
