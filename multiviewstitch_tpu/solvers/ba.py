@@ -1,0 +1,240 @@
+"""Bundle adjustment: Gauss-Newton / LM with Schur-complement reduction.
+
+The reference has no BA — its pose estimation is a greedy per-pair RANSAC
+SRT chain (Processor.cpp:813-826). BASELINE's north star requires "camera
+pose estimation and bundle adjustment over the view graph ... distributed BA
+and deformation solves via Schur-complement reduction over psum/all-gather".
+This module is the single-chip core; ``parallel/ba_dist.py`` shards the
+observation set and psum-reduces the camera system.
+
+Formulation (textbook BA, TPU-shaped):
+  - cameras: axis-angle rotation + translation (6 dof each), fixed K
+  - points: free 3D positions
+  - residuals: pinhole reprojection errors, one [O] batch
+  - per-observation Jacobians by autodiff (jacfwd of the scalar-obs
+    residual, vmapped) — no hand-derived derivatives to get wrong
+  - normal equations assembled with segment-sums; the point blocks
+    H_pp [P,3,3] invert batched; the reduced camera system
+    S = H_cc - W H_pp^-1 W^T is built from padded per-point observation
+    lists (einsum over observation pairs) and solved dense (6C x 6C is
+    small) or by CG when sharded.
+All shapes static; masks carry validity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def rodrigues(rvec):
+    """Axis-angle [..., 3] -> rotation matrix [..., 3, 3] (exp map).
+
+    Series-safe formulation with the UNNORMALIZED skew matrix so the
+    zero-rotation point is smooth (no ||r|| in any denominator — autodiff
+    through ||r|| at r=0 produces NaN Jacobians otherwise):
+      R = I + A(θ²) K + B(θ²) K², A = sinθ/θ, B = (1-cosθ)/θ².
+    """
+    rx, ry, rz = rvec[..., 0], rvec[..., 1], rvec[..., 2]
+    zeros = jnp.zeros_like(rx)
+    K = jnp.stack([
+        jnp.stack([zeros, -rz, ry], -1),
+        jnp.stack([rz, zeros, -rx], -1),
+        jnp.stack([-ry, rx, zeros], -1),
+    ], -2)
+    t2 = jnp.sum(rvec * rvec, axis=-1)[..., None, None]
+    small = t2 < 1e-10
+    t2s = jnp.where(small, 1.0, t2)        # double-where: safe denominator
+    t = jnp.sqrt(t2s)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
+    eye = jnp.eye(3, dtype=rvec.dtype)
+    return eye + A * K + B * (K @ K)
+
+
+class BAProblem(NamedTuple):
+    K: jnp.ndarray          # [3,3] shared intrinsics
+    cam_idx: jnp.ndarray    # [O] int32
+    pt_idx: jnp.ndarray     # [O] int32
+    uv: jnp.ndarray         # [O,2] observed pixels
+    mask: jnp.ndarray       # [O] bool
+    # per-point padded observation lists for the Schur cross terms:
+    pt_obs: jnp.ndarray     # [P,M] int32 indices into the obs arrays
+    pt_obs_mask: jnp.ndarray  # [P,M] bool
+    fixed_cams: jnp.ndarray   # [C] bool — gauge fixing (e.g. camera 0)
+
+
+class BAState(NamedTuple):
+    rvec: jnp.ndarray       # [C,3]
+    tvec: jnp.ndarray       # [C,3]
+    points: jnp.ndarray     # [P,3]
+
+
+def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=16,
+                 fixed_cams=None, n_cams=None) -> BAProblem:
+    """Host-side assembly of the static problem structure."""
+    cam_idx = np.asarray(cam_idx, np.int32)
+    pt_idx = np.asarray(pt_idx, np.int32)
+    uv = np.asarray(uv, np.float32)
+    O = len(cam_idx)
+    pt_obs = np.zeros((n_points, max_obs_per_point), np.int32)
+    pt_obs_mask = np.zeros((n_points, max_obs_per_point), bool)
+    counts = np.zeros(n_points, np.int32)
+    for o in range(O):
+        p = pt_idx[o]
+        if counts[p] < max_obs_per_point:
+            pt_obs[p, counts[p]] = o
+            pt_obs_mask[p, counts[p]] = True
+            counts[p] += 1
+    C = n_cams or int(cam_idx.max()) + 1
+    fc = np.zeros(C, bool)
+    if fixed_cams is None:
+        fc[0] = True
+    else:
+        fc[np.asarray(fixed_cams)] = True
+    return BAProblem(jnp.asarray(K, jnp.float32), jnp.asarray(cam_idx),
+                     jnp.asarray(pt_idx), jnp.asarray(uv),
+                     jnp.ones(O, bool), jnp.asarray(pt_obs),
+                     jnp.asarray(pt_obs_mask), jnp.asarray(fc))
+
+
+def _residual_one(K, rvec, tvec, point, uv):
+    R = rodrigues(rvec)
+    pc = R @ point + tvec
+    z = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+    u = K[0, 0] * pc[0] / z + K[0, 2]
+    v = K[1, 1] * pc[1] / z + K[1, 2]
+    return jnp.stack([u - uv[0], v - uv[1]])
+
+
+def residuals(prob: BAProblem, st: BAState):
+    f = lambda c, p, uv: _residual_one(prob.K, st.rvec[c], st.tvec[c],
+                                       st.points[p], uv)
+    r = jax.vmap(f)(prob.cam_idx, prob.pt_idx, prob.uv)          # [O,2]
+    return jnp.where(prob.mask[:, None], r, 0.0)
+
+
+def reprojection_rmse(prob: BAProblem, st: BAState) -> jnp.ndarray:
+    r = residuals(prob, st)
+    n = jnp.maximum(prob.mask.sum(), 1)
+    return jnp.sqrt((r ** 2).sum() / (2 * n))
+
+
+def _obs_jacobians(prob: BAProblem, st: BAState):
+    """Per-observation residual + Jacobians wrt its camera (6) and point (3).
+    Autodiff (jacfwd) vmapped over observations."""
+    def res_of(cam6, point, c, uv):
+        return _residual_one(prob.K, cam6[:3], cam6[3:], point, uv)
+
+    def one(o_cam, o_pt, o_uv):
+        cam6 = jnp.concatenate([st.rvec[o_cam], st.tvec[o_cam]])
+        point = st.points[o_pt]
+        r = res_of(cam6, point, o_cam, o_uv)
+        Jc = jax.jacfwd(lambda c6: res_of(c6, point, o_cam, o_uv))(cam6)
+        Jp = jax.jacfwd(lambda p: res_of(cam6, p, o_cam, o_uv))(point)
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(one)(prob.cam_idx, prob.pt_idx, prob.uv)
+    m = prob.mask[:, None]
+    return (jnp.where(m, r, 0.0), jnp.where(m[..., None], Jc, 0.0),
+            jnp.where(m[..., None], Jp, 0.0))
+
+
+@partial(jax.jit, static_argnames=("num_cams", "num_points"))
+def gn_step(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
+            num_cams: int, num_points: int
+            ) -> Tuple[BAState, jnp.ndarray]:
+    """One damped GN step via the Schur complement. Returns (new state,
+    predicted-vs-actual gain ratio for LM control)."""
+    r, Jc, Jp = _obs_jacobians(prob, st)       # [O,2], [O,2,6], [O,2,3]
+    ci, pi = prob.cam_idx, prob.pt_idx
+
+    # normal-equation blocks
+    Hcc = jnp.zeros((num_cams, 6, 6)).at[ci].add(
+        jnp.einsum("oai,oaj->oij", Jc, Jc))
+    Hpp = jnp.zeros((num_points, 3, 3)).at[pi].add(
+        jnp.einsum("oai,oaj->oij", Jp, Jp))
+    bc = jnp.zeros((num_cams, 6)).at[ci].add(
+        -jnp.einsum("oai,oa->oi", Jc, r))
+    bp = jnp.zeros((num_points, 3)).at[pi].add(
+        -jnp.einsum("oai,oa->oi", Jp, r))
+
+    # LM damping
+    Hcc = Hcc + lam * jnp.eye(6)
+    Hpp = Hpp + lam * jnp.eye(3)
+    Hpp_inv = jnp.linalg.inv(Hpp)
+
+    # per-observation W_o = Jc_o^T Jp_o  [O,6,3]
+    W = jnp.einsum("oai,oaj->oij", Jc, Jp)
+
+    # Schur: S = Hcc - sum_p sum_{m,n in obs(p)} W_m Hpp_p^-1 W_n^T
+    po, pm = prob.pt_obs, prob.pt_obs_mask            # [P,M]
+    Wp = jnp.where(pm[..., None, None], W[po], 0.0)   # [P,M,6,3]
+    cam_of = jnp.where(pm, ci[po], num_cams)          # [P,M] (pad->dropped)
+    Y = jnp.einsum("pmij,pjk->pmik", Wp, Hpp_inv)     # [P,M,6,3]
+    cross = jnp.einsum("pmik,pnjk->pmnij", Y, Wp)     # [P,M,M,6,6]
+
+    S = jnp.zeros((num_cams + 1, num_cams + 1, 6, 6))
+    S = S.at[cam_of[:, :, None], cam_of[:, None, :]].add(-cross, mode="drop")
+    S = S[:num_cams, :num_cams]
+    S = S + jnp.zeros_like(S).at[jnp.arange(num_cams),
+                                 jnp.arange(num_cams)].set(Hcc)
+
+    # reduced rhs: b_s = bc - sum_p W Hpp^-1 bp
+    red = jnp.einsum("pmik,pk->pmi", Y, bp)            # [P,M,6]
+    b_s = bc + jnp.zeros((num_cams + 1, 6)).at[cam_of].add(
+        -jnp.where(pm[..., None], red, 0.0), mode="drop")[:num_cams]
+
+    # gauge fixing: zero out fixed cameras' rows/cols, identity diagonal
+    fixed = prob.fixed_cams
+    ffree = (~fixed).astype(S.dtype)
+    S = S * ffree[:, None, None, None] * ffree[None, :, None, None]
+    S = S.at[jnp.arange(num_cams), jnp.arange(num_cams)].add(
+        jnp.eye(6) * fixed[:, None, None])
+    b_s = b_s * ffree[:, None]
+
+    # dense solve of the reduced system (6C x 6C)
+    Sd = S.transpose(0, 2, 1, 3).reshape(num_cams * 6, num_cams * 6)
+    delta_c = jnp.linalg.solve(
+        Sd + 1e-9 * jnp.eye(num_cams * 6),
+        b_s.reshape(-1)).reshape(num_cams, 6)
+    delta_c = delta_c * ffree[:, None]
+
+    # back-substitute points: dp = Hpp^-1 (bp - sum_{obs} W^T dc)
+    WTdc = jnp.einsum("pmik,pmi->pmk", Wp, delta_c[
+        jnp.clip(cam_of, 0, num_cams - 1)] *
+        pm[..., None])                                 # [P,M,3]
+    bp_adj = bp - WTdc.sum(1)
+    delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp_adj)
+
+    new = BAState(st.rvec + delta_c[:, :3], st.tvec + delta_c[:, 3:],
+                  st.points + delta_p)
+    return new, jnp.sqrt((delta_c ** 2).sum() + (delta_p ** 2).sum())
+
+
+def solve_ba(prob: BAProblem, st: BAState, *, iters: int = 20,
+             lam0: float = 1e-3, verbose: bool = False
+             ) -> Tuple[BAState, float]:
+    """LM loop with accept/reject damping control (host loop, jitted steps)."""
+    num_cams = st.rvec.shape[0]
+    num_points = st.points.shape[0]
+    lam = lam0
+    best = float(reprojection_rmse(prob, st))
+    for it in range(iters):
+        cand, _ = gn_step(prob, st, jnp.asarray(lam, jnp.float32),
+                          num_cams=num_cams, num_points=num_points)
+        err = float(reprojection_rmse(prob, cand))
+        if err < best:
+            st, best = cand, err
+            lam = max(lam * 0.5, 1e-7)
+        else:
+            lam = min(lam * 4.0, 1e3)
+        if verbose:
+            print(f"  BA iter {it}: rmse {best:.4f} (lam {lam:.1e})")
+        if lam >= 1e3:
+            break
+    return st, best
