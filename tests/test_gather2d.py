@@ -1,0 +1,95 @@
+import numpy as np
+import jax.numpy as jnp
+
+from multiviewstitch_tpu.ops.gather2d import (gather_image,
+                                              gather_image_banded,
+                                              gather_batched)
+
+
+def ref_gather(src, iy, ix):
+    H, W = src.shape
+    return src[np.clip(iy, 0, H - 1), np.clip(ix, 0, W - 1)]
+
+
+def test_identity_gather():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(48, 64)).astype(np.float32)
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.int32)
+    out, ok = gather_image(jnp.asarray(src), jnp.asarray(yy),
+                           jnp.asarray(xx))
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(out), src, atol=1e-6)
+
+
+def test_coherent_warp_exact():
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(96, 128)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:128]
+    # smooth warp: global shift + sinusoidal wobble (video-like reprojection)
+    iy = np.clip(yy + 7 + (3 * np.sin(xx / 17.0)).astype(int), 0, 95)
+    ix = np.clip(xx - 12 + (4 * np.cos(yy / 13.0)).astype(int), 0, 127)
+    out, ok = gather_image(jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
+                           jnp.asarray(ix.astype(np.int32)))
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(out), ref_gather(src, iy, ix),
+                               atol=1e-6)
+
+
+def test_banded_marks_out_of_window():
+    src = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    iy = yy.copy()
+    iy[10, 5] = 63          # one violent jump out of its band's window
+    out, ok = gather_image_banded(jnp.asarray(src),
+                                  jnp.asarray(iy.astype(np.int32)),
+                                  jnp.asarray(xx.astype(np.int32)),
+                                  window_rows=16)
+    ok = np.asarray(ok)
+    assert not ok[10, 5]
+    assert ok.mean() > 0.99
+
+
+def test_patchup_fixes_misses_exactly():
+    rng = np.random.default_rng(2)
+    src = rng.normal(size=(80, 96)).astype(np.float32)
+    yy, xx = np.mgrid[0:80, 0:96]
+    iy = yy.copy()
+    # 50 wild pixels
+    ys = rng.integers(0, 80, 50)
+    xs = rng.integers(0, 96, 50)
+    iy[ys, xs] = rng.integers(0, 80, 50)
+    out, ok = gather_image(jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
+                           jnp.asarray(xx.astype(np.int32)),
+                           window_rows=16)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(out), ref_gather(src, iy, xx),
+                               atol=1e-6)
+
+
+def test_fully_random_field_degrades_to_masked_not_wrong():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(64, 64)).astype(np.float32)
+    iy = rng.integers(0, 64, size=(64, 64)).astype(np.int32)
+    ix = rng.integers(0, 64, size=(64, 64)).astype(np.int32)
+    out, ok = gather_image(jnp.asarray(src), jnp.asarray(iy),
+                           jnp.asarray(ix), window_rows=16,
+                           miss_capacity=256)
+    ok = np.asarray(ok)
+    ref = ref_gather(src, np.asarray(iy), np.asarray(ix))
+    # where ok, values are exact; where not ok, they're masked (never wrong)
+    np.testing.assert_allclose(np.asarray(out)[ok], ref[ok], atol=1e-6)
+
+
+def test_batched_matches_loop():
+    rng = np.random.default_rng(4)
+    src = rng.normal(size=(3, 40, 56)).astype(np.float32)
+    yy, xx = np.mgrid[0:40, 0:56]
+    iy = np.stack([np.clip(yy + s, 0, 39) for s in (0, 3, -2)]).astype(
+        np.int32)
+    ix = np.tile(xx.astype(np.int32), (3, 1, 1))
+    out, ok = gather_batched(jnp.asarray(src), jnp.asarray(iy),
+                             jnp.asarray(ix))
+    for n in range(3):
+        np.testing.assert_allclose(np.asarray(out[n]),
+                                   ref_gather(src[n], iy[n], ix[n]),
+                                   atol=1e-6)
