@@ -30,6 +30,29 @@ import jax.numpy as jnp
 from ..core.cameras import CameraBatch, project, unproject, pixel_grid
 
 
+def _use_mxu_gather() -> bool:
+    """The banded one-hot-matmul gather wins on TPU (XLA's scalar gather
+    path is ~12ns/element there); on CPU the plain gather is faster."""
+    import jax as _jax
+    return _jax.default_backend() in ("tpu", "axon")
+
+
+def _gather_px(img2d, vy, vx):
+    """img [H,W] sampled at integer (vy [H,W], vx [H,W]) -> (vals, ok).
+
+    On TPU this is the banded MXU gather WITHOUT the exact patch-up: a
+    pixel whose target row leaves its band window (violent depth outlier)
+    comes back ok=False and the consistency/agreement tests treat it as
+    invalid — the conservative direction for both users of this helper.
+    """
+    h, w = img2d.shape
+    if _use_mxu_gather():
+        from .gather2d import gather_image_banded
+        return gather_image_banded(img2d, vy, vx)
+    vals = img2d[jnp.clip(vy, 0, h - 1), jnp.clip(vx, 0, w - 1)]
+    return vals, jnp.ones_like(vy, bool)
+
+
 def _round_px(x):
     """C++ ``(int)(x + 0.5)`` for the in-bounds positive coords we test."""
     return jnp.floor(x + 0.5).astype(jnp.int32)
@@ -80,10 +103,8 @@ def check_consistency(
         # nearest-sample the neighbor disparity (clipped gather; masked later)
         uc = jnp.clip(un, 0, w - 1)
         vc = jnp.clip(vn, 0, h - 1)
-        dn = jnp.take_along_axis(
-            ndisp.reshape(n, h * w),
-            (vc * w + uc).reshape(n, h * w), axis=1).reshape(n, h, w)
-        ref_valid = (dn >= min_dsp) & (dn <= max_dsp)
+        dn, gok = jax.vmap(_gather_px)(ndisp, vc, uc)
+        ref_valid = (dn >= min_dsp) & (dn <= max_dsp) & gok
 
         # round trip: unproject the neighbor pixel, project into current cam
         uvn_f = jnp.stack([uc, vc], -1).astype(disparity.dtype)

@@ -54,11 +54,12 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
 
     iy_cl = jnp.clip(iyb, 0, H - 1)
     ix_cl = jnp.clip(ixb, 0, W - 1)
-    # robust window placement: center on the band's MEDIAN target row so a
-    # few wild pixels (depth outliers) can't evict the whole band from the
-    # window — they become the misses instead
-    med = jnp.median(iy_cl, axis=1).astype(jnp.int32)
-    base = jnp.clip(med - window_rows // 2, 0,
+    # robust window placement: center on the band's MEAN target row — a few
+    # wild pixels shift the mean by at most k*H/P rows (k outliers among
+    # P=band_rows*W pixels), so they become the misses instead of evicting
+    # the whole band. (Mean, not median: median = full sort, slow on TPU.)
+    ctr = jnp.mean(iy_cl.astype(jnp.float32), axis=1).astype(jnp.int32)
+    base = jnp.clip(ctr - window_rows // 2, 0,
                     max(H - window_rows, 0))                   # [nb]
 
     rel_y = iy_cl - base[:, None]                               # [nb,P]

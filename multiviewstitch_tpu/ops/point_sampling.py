@@ -97,9 +97,9 @@ def sample_oriented_points(
                   (zn > 0)
             uc = jnp.clip(un, 0, w - 1)
             vc = jnp.clip(vn, 0, h - 1)
-            dn = jnp.take_along_axis(
-                disparity[nbr].reshape(n, h * w),
-                (vc * w + uc).reshape(n, h * w), axis=1).reshape(n, h, w)
+            from .consistency import _gather_px
+            dn, gok = jax.vmap(_gather_px)(disparity[nbr], vc, uc)
+            inb = inb & gok
             # the point's disparity as seen from the neighbor camera
             d_proj = jnp.where(zn > 1e-12, 1.0 / jnp.maximum(zn, 1e-12), 0.0)
             agree = inb & (jnp.abs(dn - d_proj) <= dsp_err) & \
