@@ -198,18 +198,25 @@ def match_sequence_pair(
 
 
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
-                    seed: int = 0) -> AlignResult:
+                    seed: int = 0, refine: bool = False) -> AlignResult:
     """Chain all sequences into the last sequence's frame
-    (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833)."""
+    (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833).
+
+    With refine=True, the greedy chain initializes a global similarity
+    pose-graph solve over ALL surviving matches of all pairs
+    (solvers/pose_graph.py) — the view-graph refinement the reference
+    lacks (SURVEY §7 step 6)."""
     key = jax.random.key(seed)
     edges: List[Similarity] = []
     keyframes, residuals = [], []
+    all_candidates = []
     for k in range(len(seqs) - 1):
         key, sub = jax.random.split(key)
-        T, best, _ = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub)
+        T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub)
         edges.append(T)
         keyframes.append((best.frame_i, best.frame_j))
         residuals.append(best.residual)
+        all_candidates.append((k, cands))
 
     # cumulative transforms: sequence k -> final frame (left-compose chain,
     # Processor.cpp:819-823)
@@ -219,7 +226,22 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
         for j in range(k, len(edges)):
             acc = compose(edges[j], acc)
         transforms.append(acc)
-    return AlignResult(transforms, keyframes, residuals)
+    result = AlignResult(transforms, keyframes, residuals)
+
+    if refine and len(seqs) > 1:
+        from ..solvers.pose_graph import build_data, refine_pose_graph
+        pairs = []
+        for k, cands in all_candidates:
+            for c in cands:
+                if c.num_matches >= cfg.min_match_count:
+                    pairs.append((k, k + 1, c.p1, c.p2, c.mask))
+        if pairs:
+            data = build_data(pairs, max_matches=cfg.max_matches)
+            refined, rmse = refine_pose_graph(transforms, data)
+            result = AlignResult(refined, keyframes, residuals,
+                                 {"pose_graph_rmse": rmse,
+                                  "pose_graph_edges": float(len(pairs))})
+    return result
 
 
 def fuse_sequences(seqs: List[Sequence], result: AlignResult,

@@ -1,0 +1,134 @@
+"""Global similarity pose-graph refinement over the sequence view graph.
+
+The reference chains sequences greedily: ONE keyframe pair per consecutive
+sequence pair decides the whole transform (Processor.cpp:746-826); every
+other surviving match is discarded. This solver performs the global
+refinement SURVEY §7 step 6 calls for: jointly optimize all per-sequence
+similarities {s_k, R_k, t_k} (last sequence gauge-fixed to identity)
+against ALL inlier matches of ALL sequence pairs:
+
+    min Σ_pairs(k,l) Σ_i  | T_k(p_i) - T_l(q_i) |²
+
+Parametrization: (log s, axis-angle r, t) per sequence — 7 dof each, so the
+whole problem is a few dozen parameters: one dense damped-GN with autodiff
+Jacobians (jacfwd over the stacked residual vector), fully jitted. The
+greedy chain provides the initialization, exactly as SURVEY prescribes
+("keeping SRT as initialization").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ba import rodrigues
+from ..core.transforms import Similarity
+
+
+class PoseGraphData(NamedTuple):
+    seq_k: jnp.ndarray    # [E] int32 first-sequence index per match block
+    seq_l: jnp.ndarray    # [E] int32 second-sequence index
+    p: jnp.ndarray        # [E,M,3] points in sequence k's frame (padded)
+    q: jnp.ndarray        # [E,M,3] matched points in sequence l's frame
+    mask: jnp.ndarray     # [E,M]
+
+
+def build_data(pairs: List[Tuple[int, int, np.ndarray, np.ndarray,
+                                 np.ndarray]],
+               max_matches: int = 2048) -> PoseGraphData:
+    """pairs: list of (k, l, p [M,3], q [M,3], mask [M])."""
+    E = len(pairs)
+    sk = np.zeros(E, np.int32)
+    sl = np.zeros(E, np.int32)
+    P = np.zeros((E, max_matches, 3), np.float32)
+    Q = np.zeros((E, max_matches, 3), np.float32)
+    Mk = np.zeros((E, max_matches), bool)
+    for e, (k, l, p, q, m) in enumerate(pairs):
+        n = min(len(p), max_matches)
+        sk[e], sl[e] = k, l
+        P[e, :n] = p[:n]
+        Q[e, :n] = q[:n]
+        Mk[e, :n] = m[:n]
+    return PoseGraphData(jnp.asarray(sk), jnp.asarray(sl), jnp.asarray(P),
+                         jnp.asarray(Q), jnp.asarray(Mk))
+
+
+def _params_to_sim(params):
+    """params [S,7] = (log s, rvec, t) -> (s [S], R [S,3,3], t [S,3])."""
+    s = jnp.exp(params[:, 0])
+    R = rodrigues(params[:, 1:4])
+    t = params[:, 4:7]
+    return s, R, t
+
+
+def _residuals(params, data: PoseGraphData):
+    s, R, t = _params_to_sim(params)
+    sk, sl = data.seq_k, data.seq_l
+    Tp = (s[sk][:, None, None] *
+          jnp.einsum("eij,emj->emi", R[sk], data.p) + t[sk][:, None, :])
+    Tq = (s[sl][:, None, None] *
+          jnp.einsum("eij,emj->emi", R[sl], data.q) + t[sl][:, None, :])
+    r = (Tp - Tq) * data.mask[..., None]
+    return r.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("num_seqs",))
+def _gn_step(params, data: PoseGraphData, lam, *, num_seqs: int):
+    flat = params.reshape(-1)
+
+    def res_flat(x):
+        return _residuals(x.reshape(num_seqs, 7), data)
+
+    r = res_flat(flat)
+    J = jax.jacfwd(res_flat)(flat)                 # [R, 7S]
+    # gauge: last sequence fixed -> zero its columns
+    free = jnp.ones((num_seqs, 7)).at[num_seqs - 1].set(0.0).reshape(-1)
+    J = J * free[None, :]
+    H = J.T @ J + lam * jnp.eye(J.shape[1])
+    g = J.T @ r
+    delta = jnp.linalg.solve(H, -g) * free
+    return (flat + delta).reshape(num_seqs, 7), (r ** 2).sum()
+
+
+def refine_pose_graph(init: List[Similarity], data: PoseGraphData, *,
+                      iters: int = 20, lam0: float = 1e-4
+                      ) -> Tuple[List[Similarity], float]:
+    """Damped-GN refinement from the greedy-chain initialization."""
+    S = len(init)
+    params = np.zeros((S, 7), np.float32)
+    for k, T in enumerate(init):
+        params[k, 0] = np.log(max(float(np.asarray(T.s)), 1e-9))
+        R = np.asarray(T.R, np.float64)
+        # log map (axis-angle from matrix)
+        cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
+        ang = np.arccos(cos)
+        if ang > 1e-9:
+            ax = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                           R[1, 0] - R[0, 1]]) / (2 * np.sin(ang))
+            params[k, 1:4] = (ax * ang).astype(np.float32)
+        params[k, 4:7] = np.asarray(T.t)
+
+    p = jnp.asarray(params)
+    lam = lam0
+    best_cost = float(jnp.sum(_residuals(p, data) ** 2))
+    for _ in range(iters):
+        cand, _ = _gn_step(p, data, jnp.asarray(lam, jnp.float32),
+                           num_seqs=S)
+        cost = float(jnp.sum(_residuals(cand, data) ** 2))
+        if cost < best_cost:
+            p, best_cost = cand, cost
+            lam = max(lam * 0.5, 1e-8)
+        else:
+            lam = min(lam * 4.0, 1e4)
+        if lam >= 1e4:
+            break
+
+    s, R, t = _params_to_sim(p)
+    out = [Similarity(s[k], R[k], t[k]) for k in range(S)]
+    n = jnp.maximum(data.mask.sum(), 1)
+    rmse = float(jnp.sqrt(best_cost / n))
+    return out, rmse
