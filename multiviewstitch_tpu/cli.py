@@ -75,17 +75,21 @@ def cmd_align(args) -> int:
     from .ops.tsdf import reconstruct
     from .solvers.unionfind import retain_largest_component
 
-    if not args.demo:
-        _log("non-demo align needs real sequence data; see --demo and "
-             "docs/DATA.md for the expected layout")
-        if not args.config:
-            return 2
     cfg = _demo_config() if args.demo else None
     if args.config:
         from .config import load_legacy_config
         cfg = load_legacy_config(args.config)
+    if cfg is None:
+        _log("need --demo or --config (see docs/DATA.md for the layout)")
+        return 2
     t0 = time.time()
-    seqs, gt, base, moved = _build_demo_sequences(cfg)
+    if args.demo:
+        seqs, gt, base, moved = _build_demo_sequences(cfg)
+    else:
+        from .pipeline.ingest import load_sequences
+        base_dir = os.path.dirname(os.path.abspath(args.config))
+        seqs = load_sequences(cfg, base_dir)
+        moved = None
     manifest = StageManifest(args.workdir)
     result_dir = manifest.stage_dir("Result")
 
@@ -99,10 +103,11 @@ def cmd_align(args) -> int:
     write_npts(os.path.join(result_dir, "PSR.npts"), pts, nrm)
     _log(f"fused cloud: {len(pts)} oriented points -> PSR.npts")
 
-    # reconstruct in the reference frame: fuse the transformed disparities
-    # of the final sequence (already in the ref frame by construction)
+    # reconstruct in the reference frame: fuse the final sequence's
+    # disparities (that sequence IS the reference frame, transform = I)
+    last = seqs[-1]
     verts, faces, _ = reconstruct(
-        moved.disparity, moved.cams, grid=args.grid,
+        np.asarray(last.disparity), last.cams, grid=args.grid,
         min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp)
     verts, faces, _ = retain_largest_component(verts, faces)
     write_obj(os.path.join(result_dir, "Model.obj"), verts, None, faces)
