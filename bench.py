@@ -49,17 +49,23 @@ def main():
     @jax.jit
     def chained(disp, K, R, t):
         cams = CameraBatch(K, R, t, w, h)
-        total = 0.0
-        d = disp
-        for _ in range(REPS):
+
+        def body(carry, _):
+            d, total = carry
             f = check_consistency(d, cams, min_dsp=1e-3, max_dsp=10.0,
                                   reproj_err=4)
             op = sample_oriented_points(f, cams, min_dsp=1e-3,
                                         max_dsp=10.0, sample_radius=2,
                                         nbr_num=2, nbr_step=1, dsp_err=0.05,
                                         conf_min=0.5)
-            total = total + op.valid.sum()
-            d = jnp.where(f > 0, f, d)   # real dependency: no CSE between reps
+            # real dependency between reps: no CSE across iterations
+            return (jnp.where(f > 0, f, d),
+                    total + op.valid.sum().astype(jnp.float32)), None
+
+        # scan: the step compiles ONCE (a python loop would multiply the
+        # program size by REPS and blow up compile time)
+        (d, total), _ = jax.lax.scan(body, (disp, jnp.float32(0.0)), None,
+                                     length=REPS)
         return d, total
 
     args = [jnp.asarray(x) for x in (disp, K, R, t)]
