@@ -148,7 +148,46 @@ def _descriptor(img, uv, scale, angle):
     return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "num_levels", "margins"))
+def _dog_extrema(dogs, contrast_thresh: float, edge_ratio: float = 10.0):
+    """Scale-space extrema of a DoG stack [S,H,W]: 26-neighborhood max/min
+    on the middle scales, contrast threshold, and 2x2 Hessian edge
+    rejection (the SIFT detector's acceptance rules; the reference gets
+    these from SiftGPU, FeatureProc.cpp:20)."""
+    S = dogs.shape[0]
+    resp = []
+    for s in range(1, S - 1):
+        d = dogs[s]
+        mx = jnp.full_like(d, -jnp.inf)
+        mn = jnp.full_like(d, jnp.inf)
+        for ds in (-1, 0, 1):
+            lvl = dogs[s + ds]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if ds == 0 and dy == 0 and dx == 0:
+                        continue
+                    sh = jnp.roll(jnp.roll(lvl, dy, 0), dx, 1)
+                    mx = jnp.maximum(mx, sh)
+                    mn = jnp.minimum(mn, sh)
+        is_ext = ((d > mx) & (d > contrast_thresh)) | \
+                 ((d < mn) & (d < -contrast_thresh))
+
+        # edge rejection via the spatial Hessian trace^2/det ratio
+        dxx = jnp.roll(d, -1, 1) + jnp.roll(d, 1, 1) - 2 * d
+        dyy = jnp.roll(d, -1, 0) + jnp.roll(d, 1, 0) - 2 * d
+        dxy = (jnp.roll(jnp.roll(d, -1, 0), -1, 1) -
+               jnp.roll(jnp.roll(d, -1, 0), 1, 1) -
+               jnp.roll(jnp.roll(d, 1, 0), -1, 1) +
+               jnp.roll(jnp.roll(d, 1, 0), 1, 1)) * 0.25
+        tr = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        r1 = (edge_ratio + 1.0) ** 2 / edge_ratio
+        not_edge = (det > 0) & (tr * tr < r1 * det)
+        resp.append(jnp.where(is_ext & not_edge, jnp.abs(d), -jnp.inf))
+    return jnp.stack(resp)            # [S-2,H,W]
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "num_levels", "margins",
+                                   "detector", "scales_per_octave"))
 def detect_and_describe(
     gray: jnp.ndarray,            # [H,W] float32 (any consistent scale)
     *,
@@ -156,9 +195,15 @@ def detect_and_describe(
     num_levels: int = 3,
     margins: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
     min_score: float = 1e-7,
+    detector: str = "dog",
+    scales_per_octave: int = 3,
 ) -> Keypoints:
-    """Detect up to K keypoints over a `num_levels` half-octave pyramid and
-    compute SIFT-layout descriptors. margins = (hl, hr, vl, vr) ratios."""
+    """Detect up to K keypoints and compute SIFT-layout descriptors.
+
+    detector="dog" (default): difference-of-Gaussians scale-space extrema
+    with contrast + edge rejection — the detector SiftGPU implements.
+    detector="harris": the original multi-scale corner stopgap.
+    margins = (hl, hr, vl, vr) ratios (FeatureProc.cpp:28-43)."""
     from .filters import margin_mask
 
     h, w = gray.shape
@@ -166,28 +211,62 @@ def detect_and_describe(
     img = img / jnp.maximum(jnp.max(jnp.abs(img)), 1e-8)
 
     hl, hr, vl, vr = margins
-    levels = []
-    cur = gaussian_blur(img, 1.0)
-    for lv in range(num_levels):
-        levels.append(cur)
-        if lv + 1 < num_levels:
-            cur = _downsample2(gaussian_blur(cur, 1.2))
-
     all_uv, all_score, all_scale = [], [], []
-    for lv, lim in enumerate(levels):
-        lh, lw = lim.shape
-        r = _harris(lim)
-        mm = margin_mask(lh, lw, hl, hr, vl, vr)
-        # also blank a 8px frame so descriptor windows stay inside
-        mm = mm * margin_mask(lh, lw, 8.0 / lw, 8.0 / lw, 8.0 / lh, 8.0 / lh)
-        r = jnp.where((mm > 0) & _nms3(r), r, -jnp.inf)
-        k_lv = max_keypoints  # take top-K per level, merge below
-        score, flat = jax.lax.top_k(r.ravel(), k_lv)
-        uu = (flat % lw).astype(jnp.float32) * (2.0 ** lv)
-        vv = (flat // lw).astype(jnp.float32) * (2.0 ** lv)
-        all_uv.append(jnp.stack([uu, vv], -1))
-        all_score.append(score)
-        all_scale.append(jnp.full((k_lv,), 2.0 ** lv))
+
+    if detector == "dog":
+        sigma0 = 1.6
+        k = 2.0 ** (1.0 / scales_per_octave)
+        base = gaussian_blur(img, sigma0)
+        for octave in range(num_levels):
+            oh, ow = base.shape
+            # gaussian stack for this octave
+            gs = [base]
+            sig = sigma0
+            for s in range(scales_per_octave + 2):
+                # incremental blur so level s has total sigma sigma0 * k^s
+                gs.append(gaussian_blur(gs[-1],
+                                        float(sig * (k * k - 1.0) ** 0.5)))
+                sig *= k
+            dogs = jnp.stack([gs[i + 1] - gs[i] for i in range(len(gs) - 1)])
+            resp = _dog_extrema(dogs, contrast_thresh=0.005)
+            mm = margin_mask(oh, ow, hl, hr, vl, vr)
+            mm = mm * margin_mask(oh, ow, 8.0 / ow, 8.0 / ow, 8.0 / oh,
+                                  8.0 / oh)
+            resp = jnp.where(mm[None] > 0, resp, -jnp.inf)
+            kk = max_keypoints
+            score, flat = jax.lax.top_k(resp.reshape(-1), kk)
+            per = oh * ow
+            sflat = flat % per
+            sidx = flat // per
+            uu = (sflat % ow).astype(jnp.float32) * (2.0 ** octave)
+            vv = (sflat // ow).astype(jnp.float32) * (2.0 ** octave)
+            all_uv.append(jnp.stack([uu, vv], -1))
+            all_score.append(score)
+            # sampling step ~ the level's sigma in source pixels
+            lvl_sigma = sigma0 * (k ** (sidx.astype(jnp.float32) + 1.0))
+            all_scale.append(lvl_sigma / sigma0 * (2.0 ** octave))
+            if octave + 1 < num_levels:
+                base = _downsample2(gs[scales_per_octave])
+    else:
+        levels = []
+        cur = gaussian_blur(img, 1.0)
+        for lv in range(num_levels):
+            levels.append(cur)
+            if lv + 1 < num_levels:
+                cur = _downsample2(gaussian_blur(cur, 1.2))
+        for lv, lim in enumerate(levels):
+            lh, lw = lim.shape
+            r = _harris(lim)
+            mm = margin_mask(lh, lw, hl, hr, vl, vr)
+            mm = mm * margin_mask(lh, lw, 8.0 / lw, 8.0 / lw, 8.0 / lh,
+                                  8.0 / lh)
+            r = jnp.where((mm > 0) & _nms3(r), r, -jnp.inf)
+            score, flat = jax.lax.top_k(r.ravel(), max_keypoints)
+            uu = (flat % lw).astype(jnp.float32) * (2.0 ** lv)
+            vv = (flat // lw).astype(jnp.float32) * (2.0 ** lv)
+            all_uv.append(jnp.stack([uu, vv], -1))
+            all_score.append(score)
+            all_scale.append(jnp.full((max_keypoints,), 2.0 ** lv))
 
     uv = jnp.concatenate(all_uv)
     score = jnp.concatenate(all_score)
@@ -195,7 +274,7 @@ def detect_and_describe(
     score_top, sel = jax.lax.top_k(score, max_keypoints)
     uv = uv[sel]
     scale = scale[sel]
-    valid = score_top > min_score
+    valid = jnp.isfinite(score_top) & (score_top > min_score)
 
     ang = jax.vmap(lambda p: _orientation(img, p))(uv)
     desc = jax.vmap(lambda p, s, a: _descriptor(img, p, s, a))(
