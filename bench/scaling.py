@@ -1,0 +1,156 @@
+"""Scaling-efficiency benchmark: sharded pipeline throughput vs device count.
+
+BASELINE config 5 requires >=0.8 scaling efficiency at N>=2 hosts for the
+partitioned view graph + Schur-complement BA. Real multi-chip hardware is
+not attached to this container (single tunneled chip), so this harness
+measures the same sharded programs on an N-virtual-device CPU mesh —
+validating the sharding/collective structure and the efficiency
+methodology; on a pod slice the identical code runs over ICI.
+
+Virtual CPU devices share one host's cores, so WALL-CLOCK cannot improve
+with N here; the meaningful simulator-side metric is *partitioning
+efficiency*: per-device compiled FLOPs should shrink as 1/N (collective
+overhead shows up as excess). That is what this harness reports, plus wall
+times for reference. On real hardware the same code yields true scaling
+curves.
+
+Run:  python bench/scaling.py [--devices 8] [--frames 16]
+Emits one JSON line per stage: partition efficiency + wall times.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--width", type=int, default=128)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{args.devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge
+        xla_bridge._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multiviewstitch_tpu.parallel.mesh import make_mesh
+    from multiviewstitch_tpu.core.cameras import CameraBatch
+    from multiviewstitch_tpu.ops.consistency import check_consistency
+    from multiviewstitch_tpu.parallel import ba_dist
+    from multiviewstitch_tpu.solvers.ba import BAState
+
+    n, h, w = args.frames, args.height, args.width
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(0.2, 0.4, size=(n, h, w)).astype(np.float32)
+    K = np.zeros((n, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 100.0
+    K[:, 0, 2] = (w - 1) / 2
+    K[:, 1, 2] = (h - 1) / 2
+    K[:, 2, 2] = 1
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+    t = np.zeros((n, 3), np.float32)
+    t[:, 0] = np.linspace(0, 0.3, n)
+
+    def time_frontend(nd):
+        mesh = make_mesh(nd, ("views",))
+        sh = NamedSharding(mesh, P("views"))
+        arrs = [jax.device_put(jnp.asarray(x), sh)
+                for x in (disp, K, R, t)]
+        cams = CameraBatch(arrs[1], arrs[2], arrs[3], w, h)
+        f = jax.jit(lambda d: check_consistency(
+            d, cams, min_dsp=1e-3, max_dsp=10.0, reproj_err=4))
+        lowered = f.lower(arrs[0]).compile()
+        flops = lowered.cost_analysis().get("flops", 0.0)
+        o = f(arrs[0])
+        jax.block_until_ready(o)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = f(arrs[0])
+            jax.block_until_ready(o)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), float(flops)
+
+    def time_ba(nd):
+        mesh = make_mesh(nd, ("views",))
+        n_cams, n_pts = 6, 64 * args.devices
+        Kb = np.array([[100.0, 0, 32.0], [0, 100.0, 24.0], [0, 0, 1]],
+                      np.float32)
+        pts = rng.uniform(-0.5, 0.5, size=(n_pts, 3)).astype(np.float32)
+        pts[:, 2] += 4.0
+        ci, pi, uvs = [], [], []
+        for c in range(n_cams):
+            tv = np.array([0.1 * c, 0, 0], np.float32)
+            pc = pts + tv
+            uv = np.stack([Kb[0, 0] * pc[:, 0] / pc[:, 2] + Kb[0, 2],
+                           Kb[1, 1] * pc[:, 1] / pc[:, 2] + Kb[1, 2]], -1)
+            ci += [c] * n_pts
+            pi += list(range(n_pts))
+            uvs += list(uv)
+        blocks = ba_dist.group_by_point(Kb, ci, pi, np.asarray(uvs),
+                                        n_pts, n_cams, max_obs_per_point=6)
+        st = BAState(jnp.zeros((n_cams, 3)),
+                     jnp.asarray([[0.1 * c, 0, 0] for c in range(n_cams)],
+                                 jnp.float32),
+                     jnp.asarray(pts + 0.01))
+        from functools import partial as _part
+        stepf = jax.jit(_part(ba_dist.gn_step_sharded.__wrapped__,
+                              mesh=mesh, num_cams=n_cams))
+        lowered = stepf.lower(blocks, st, jnp.asarray(1e-3)).compile()
+        flops = lowered.cost_analysis().get("flops", 0.0)
+        step = lambda: stepf(blocks, st, jnp.asarray(1e-3))
+        o = step()
+        jax.block_until_ready(o.points)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = step()
+            jax.block_until_ready(o.points)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), float(flops)
+
+    results = {}
+    for name, fn in (("frontend", time_frontend), ("ba_step", time_ba)):
+        times, flops = {}, {}
+        for nd in (1, 2, 4, args.devices):
+            if nd > args.devices:
+                continue
+            times[nd], flops[nd] = fn(nd)
+        nmax = max(times)
+        # per-device flop share: ideal = total/N; efficiency = ideal/actual
+        # (cost_analysis reports the per-device program under SPMD)
+        part_eff = {nd: (flops[1] / nd) / max(flops[nd], 1.0)
+                    for nd in times}
+        results[name] = {"times_s": times, "flops": flops,
+                         "partition_efficiency": part_eff}
+        print(json.dumps({
+            "metric": f"scaling_{name}",
+            "value": round(part_eff[nmax], 3),
+            "unit": f"flop-partition efficiency at {nmax} devices "
+                    f"(cpu-mesh sim; wall-clock needs real chips)",
+            "times_ms": {str(k): round(v * 1e3, 2)
+                         for k, v in times.items()},
+            "per_device_gflops": {str(k): round(v / 1e9, 4)
+                                  for k, v in flops.items()},
+        }))
+    return results
+
+
+if __name__ == "__main__":
+    main()
