@@ -215,6 +215,46 @@ def local_alignment(src: np.ndarray, s_normals: Optional[np.ndarray],
     return out, nrm_out
 
 
+def align_by_shoulder(src: np.ndarray, s_normals: np.ndarray,
+                      s_labels: np.ndarray, tgt: np.ndarray,
+                      t_labels: np.ndarray,
+                      shoulder_indices, k: int = 50) -> np.ndarray:
+    """Shoulder-anchored arm offset (AlignByShoulder, Alignment.cpp:548-616;
+    unused by the reference's main path but part of its surface): average
+    the annotated shoulder-joint vertices per side, find the k nearest scan
+    points among NECK/UPPER_ARM/TRUNCUS labels, and shift each whole arm
+    along its (distance-scaled, sign-fixed) mean shoulder normal.
+    shoulder_indices: [left_list, right_list] template vertex indices
+    (models/parts.load_shoulder_joints)."""
+    out = src.copy()
+    arm_groups = [
+        ((P.LEFT_UPPER_ARM, P.LEFT_LOWER_ARM, P.LEFT_HAND), P.LEFT_UPPER_ARM),
+        ((P.RIGHT_UPPER_ARM, P.RIGHT_LOWER_ARM, P.RIGHT_HAND),
+         P.RIGHT_UPPER_ARM),
+    ]
+    for side, (arm_labels, upper) in enumerate(arm_groups):
+        idx = np.asarray(shoulder_indices[side], np.int64)
+        if len(idx) == 0:
+            continue
+        joint = src[idx].mean(0)
+        nrm = s_normals[idx].mean(0)
+        nrm = nrm / max(np.linalg.norm(nrm), 1e-12)
+
+        cand = np.isin(t_labels, (P.NECK, upper, P.TRUNCUS))
+        if not cand.any():
+            continue
+        d = np.linalg.norm(tgt[cand] - joint, axis=1)
+        take = np.argsort(d)[:k]
+        t_joint = tgt[cand][take].mean(0)
+        dist = d[take].mean()
+        step = nrm * dist
+        if step @ (t_joint - joint) < 0:
+            step = -step
+        am = np.isin(s_labels, arm_labels)
+        out[am] = out[am] + step
+    return out
+
+
 @dataclass
 class AlignOutput:
     src: np.ndarray                 # aligned template vertices
