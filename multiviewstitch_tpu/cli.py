@@ -93,8 +93,22 @@ def cmd_align(args) -> int:
     manifest = StageManifest(args.workdir)
     result_dir = manifest.stage_dir("Result")
 
+    # checkpoint/resume: skip when inputs (disparities + config) unchanged
+    # (the reference resumes implicitly through its durable files,
+    # SURVEY §5.4; here the manifest makes it explicit and hash-checked)
+    from .io.manifest import hash_arrays
+    in_hash = hash_arrays(
+        cfg=np.frombuffer(repr(cfg).encode(), dtype=np.uint8),
+        **{f"d{i}": np.asarray(s.disparity) for i, s in enumerate(seqs)})
+    if manifest.is_done("align", in_hash) and not getattr(
+            args, "force", False):
+        _log("align stage up to date (manifest hash match) — skipping; "
+             "pass --force to recompute")
+        return 0
+
     _log(f"aligning {len(seqs)} sequences ...")
-    result = align_sequences(seqs, cfg, seed=0)
+    result = align_sequences(seqs, cfg, seed=0,
+                             refine=getattr(args, "refine", False))
     save_srt(os.path.join(result_dir, "SRT.txt"), result.transforms)
     _log(f"pose chain solved (residuals {result.residuals}); "
          f"SRT.txt written")
@@ -114,6 +128,7 @@ def cmd_align(args) -> int:
     manifest.mark_done("align", [os.path.join(result_dir, f)
                                  for f in ("SRT.txt", "PSR.npts",
                                            "Model.obj")],
+                       input_hash=in_hash,
                        metrics={"points": len(pts), "verts": len(verts),
                                 "faces": len(faces)})
     _log(f"Model.obj: {len(verts)} verts / {len(faces)} faces "
@@ -207,6 +222,10 @@ def main(argv=None) -> int:
 
     a = sub.add_parser("align", parents=[common])
     a.add_argument("--grid", type=int, default=96)
+    a.add_argument("--force", action="store_true",
+                   help="recompute even if the manifest says up to date")
+    a.add_argument("--refine", action="store_true",
+                   help="global pose-graph refinement over all matches")
     a.set_defaults(fn=cmd_align)
 
     d = sub.add_parser("deform", parents=[common])
@@ -219,6 +238,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", parents=[common])
     p.add_argument("--grid", type=int, default=96)
     p.add_argument("--passes", type=int, default=2)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--refine", action="store_true")
     p.set_defaults(fn=cmd_pipeline)
 
     b = sub.add_parser("bench", parents=[common])
