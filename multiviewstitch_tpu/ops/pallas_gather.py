@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem):
     b = pl.program_id(0)
-    base = base_ref[b]
+    base = pl.multiple_of(base_ref[b], 8)
     wy, w = win.shape
     bh = iy_ref.shape[0]
 
@@ -38,21 +38,24 @@ def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem):
     dma.start()
     dma.wait()
 
-    rel_y = iy_ref[:] - base                         # [bh, W]
-    ok = (rel_y >= 0) & (rel_y < wy)
+    ok = (iy_ref[:] >= base) & (iy_ref[:] < base + wy)
     ok_ref[:] = ok
-    rel_y = jnp.clip(rel_y, 0, wy - 1)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (w, wy), 1)
 
     def row_body(r, _):
-        ix_row = ix_ref[r, :]                        # [W]
-        onehot = (ix_row[:, None] == cols).astype(jnp.float32)   # [W,W]
+        # read refs with dynamic slices (values can't be dynamically
+        # indexed inside Pallas TPU kernels)
+        ix_row = ix_ref[pl.ds(r, 1), :]                          # [1,W]
+        iy_row = iy_ref[pl.ds(r, 1), :]
+        rel_row = jnp.clip(iy_row - base, 0, wy - 1)             # [1,W]
+        onehot = (ix_row.reshape(w, 1) == cols).astype(jnp.float32)  # [W,W]
         tmp = jnp.dot(onehot, win[:].T,
                       preferred_element_type=jnp.float32)        # [W,WY]
-        sel = rel_y[r, :][:, None] == rows_iota                  # [W,WY]
-        out_ref[r, :] = jnp.sum(jnp.where(sel, tmp, 0.0), axis=1)
+        sel = rel_row.reshape(w, 1) == rows_iota                 # [W,WY]
+        out_ref[pl.ds(r, 1), :] = jnp.sum(
+            jnp.where(sel, tmp, 0.0), axis=1).reshape(1, w)
         return 0
 
     jax.lax.fori_loop(0, bh, row_body, 0)
@@ -65,7 +68,8 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     """src [H,W] f32; iy/ix [H,W] i32 -> (values [H,W], ok [H,W])."""
     H, W = src.shape
     Ho = iy.shape[0]
-    window_rows = min(window_rows, H)
+    # +8 headroom compensates the sublane alignment of the window base
+    window_rows = min(window_rows + 8, H)
     pad = (-Ho) % band_rows
     if pad:
         iy = jnp.pad(iy, ((0, pad), (0, 0)))
@@ -78,6 +82,8 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     ctr = jnp.mean(iy_cl.reshape(nb, -1).astype(jnp.float32),
                    axis=1).astype(jnp.int32)
     base = jnp.clip(ctr - window_rows // 2, 0, max(H - window_rows, 0))
+    # Mosaic requires the dynamic DMA row offset to be sublane-aligned
+    base = jnp.clip((base // 8) * 8, 0, max(((H - window_rows) // 8) * 8, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
