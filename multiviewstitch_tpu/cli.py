@@ -117,11 +117,14 @@ def cmd_align(args) -> int:
     write_npts(os.path.join(result_dir, "PSR.npts"), pts, nrm)
     _log(f"fused cloud: {len(pts)} oriented points -> PSR.npts")
 
-    # reconstruct in the reference frame: fuse the final sequence's
-    # disparities (that sequence IS the reference frame, transform = I)
-    last = seqs[-1]
-    verts, faces, _ = reconstruct(
-        np.asarray(last.disparity), last.cams, grid=args.grid,
+    # reconstruct in the reference frame: true multi-sequence TSDF fusion
+    # through the solved transforms (Model.obj covers every sequence's view
+    # of the object, like the reference's merged Poisson)
+    from .ops.tsdf import fuse_multi_sequence
+    verts, faces, _ = fuse_multi_sequence(
+        [np.asarray(s.disparity) for s in seqs],
+        [s.cams for s in seqs],
+        result.transforms, grid=args.grid,
         min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp)
     verts, faces, _ = retain_largest_component(verts, faces)
     write_obj(os.path.join(result_dir, "Model.obj"), verts, None, faces)

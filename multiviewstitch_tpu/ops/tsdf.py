@@ -235,6 +235,81 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     return SurfaceMesh(verts, faces, num_v, num_f)
 
 
+def fuse_multi_sequence(seq_disparities, seq_cams, transforms, *,
+                        grid: int = 128, min_dsp: float = 1e-4,
+                        max_dsp: float = 1e4, trunc_cells: float = 3.0,
+                        margin: float = 0.05):
+    """Fuse MULTIPLE sequences' depth maps into one TSDF in the reference
+    frame: sequence k's transform T_k maps its world into the reference
+    frame, so voxels are pulled back through T_k^{-1} before projecting
+    into k's cameras (signed distances measured in reference units by
+    scaling with s_k). This is the true multi-sequence Model.obj fusion
+    (the reference instead concatenates sampled points and hands them to
+    Poisson, Processor.cpp:1021-1058 — the npts path `fuse_sequences`
+    reproduces that; this is the denser TSDF equivalent).
+
+    Returns (vertices, faces, tsdf) like `reconstruct`."""
+    import jax
+
+    from ..core.transforms import inverse as sim_inverse, apply_points
+    from ..core.cameras import unproject_depth_map
+
+    # bounds over all sequences (in the reference frame)
+    mins = np.full(3, np.inf)
+    maxs = np.full(3, -np.inf)
+    for disp, cams, T in zip(seq_disparities, seq_cams, transforms):
+        for i in range(disp.shape[0]):
+            pts, valid = unproject_depth_map(cams[i],
+                                             jnp.asarray(disp[i]),
+                                             min_dsp, max_dsp)
+            p = np.asarray(pts)[np.asarray(valid)]
+            if len(p):
+                p = np.asarray(apply_points(T, jnp.asarray(p)))
+                mins = np.minimum(mins, p.min(0))
+                maxs = np.maximum(maxs, p.max(0))
+    span = maxs - mins
+    mins -= margin * span
+    maxs += margin * span
+    spacing = float((maxs - mins).max() / (grid - 1))
+    origin = jnp.asarray(mins, jnp.float32)
+
+    acc = jnp.zeros((grid, grid, grid))
+    wsum = jnp.zeros((grid, grid, grid))
+    for disp, cams, T in zip(seq_disparities, seq_cams, transforms):
+        inv = sim_inverse(T)
+        # transform cameras to view the REFERENCE frame directly. The
+        # sequence camera sees q = T^{-1}(p); scaling its frame by s gives
+        # p_c' = s*(R_c q + t_c) = (R_c R^T) p + (s t_c - R_c R^T t):
+        # a PURE rotation R_c R^T with depths in reference units
+        # (z' = s * z_seq), and projection is unchanged (u = fx x/z + cx is
+        # scale invariant). Observed disparities convert as 1/(s*z) = d/s.
+        s = float(np.asarray(T.s))
+        Rc = np.asarray(cams.R)
+        tc = np.asarray(cams.t)
+        Rt = np.asarray(T.R).T
+        R2 = np.einsum("nij,jk->nik", Rc, Rt)
+        t2 = s * tc - np.einsum("nij,j->ni", R2, np.asarray(T.t))
+        cams2 = CameraBatch(cams.K, jnp.asarray(R2, jnp.float32),
+                            jnp.asarray(t2, jnp.float32),
+                            cams.width, cams.height)
+        t_local = fuse_tsdf(jnp.asarray(disp) / s, cams2, origin,
+                            jnp.asarray(spacing, jnp.float32), grid=grid,
+                            trunc=trunc_cells, min_dsp=min_dsp / s,
+                            max_dsp=max_dsp / s)
+        acc = acc + t_local.values * t_local.weights
+        wsum = wsum + t_local.weights
+
+    vals = jnp.where(wsum > 0, acc / jnp.maximum(wsum, 1.0), 1.0)
+    tsdf = TSDF(vals, wsum, origin, jnp.asarray(spacing, jnp.float32))
+    mesh = surface_nets(tsdf)
+    nv = int(mesh.num_vertices)
+    nf = int(mesh.num_faces)
+    verts = np.asarray(mesh.vertices[:nv])
+    faces = np.asarray(mesh.faces[:nf])
+    faces = faces[(faces >= 0).all(1) & (faces < nv).all(1)]
+    return verts, faces, tsdf
+
+
 def reconstruct(disparity, cams: CameraBatch, *, grid: int = 128,
                 min_dsp: float = 1e-4, max_dsp: float = 1e4,
                 trunc_cells: float = 3.0, margin: float = 0.05,

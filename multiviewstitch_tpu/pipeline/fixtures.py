@@ -54,7 +54,8 @@ def uv_sphere(n_lat: int = 24, n_lon: int = 32, radius: float = 0.5,
 def ring_cameras(n: int, radius: float = 2.0, height: float = 0.0,
                  width: int = 160, length_focal: float = 120.0,
                  img_height: int = 120, look_at=(0.0, 0.0, 0.0),
-                 arc_deg: float = 360.0) -> CameraBatch:
+                 arc_deg: float = 360.0,
+                 arc_center_deg: float = 0.0) -> CameraBatch:
     """n cameras on a circle (or partial arc of `arc_deg`) in the y=height
     plane, all looking at look_at. A partial arc with small angular steps
     mimics the reference's hand-held video sequences (its consistency and
@@ -76,7 +77,7 @@ def ring_cameras(n: int, radius: float = 2.0, height: float = 0.0,
             ang = 2 * np.pi * i / max(n, 1)
         else:
             step = np.radians(arc_deg) / max(n - 1, 1)
-            ang = (i - (n - 1) / 2) * step
+            ang = (i - (n - 1) / 2) * step + np.radians(arc_center_deg)
         center = np.array([radius * np.cos(ang), height,
                            radius * np.sin(ang)])
         fwd = tgt - center
@@ -107,13 +108,14 @@ def make_scene(n_frames: int = 4, width: int = 160, height: int = 120,
                cam_radius: float = 2.0, bumps: float = 0.12, seed: int = 0,
                transform: Optional[Similarity] = None,
                n_lat: int = 48, n_lon: int = 64,
-               arc_deg: float = 360.0) -> Scene:
+               arc_deg: float = 360.0, arc_center_deg: float = 0.0) -> Scene:
     """Render a bumpy-sphere scene. If `transform` is given, the world (mesh
     AND cameras) is mapped through it — two scenes of the same mesh related
     by a known similarity, exactly the multi-sequence stitching setup."""
     verts, faces = uv_sphere(n_lat, n_lon, bumps=bumps, seed=seed)
     cams = ring_cameras(n_frames, radius=cam_radius, width=width,
-                        img_height=height, arc_deg=arc_deg)
+                        img_height=height, arc_deg=arc_deg,
+                        arc_center_deg=arc_center_deg)
     if transform is not None:
         # map world by T: points x' = sRx+t; camera (R_c, t_c) becomes
         # (R_c R^T, t_c - R_c R^T t ... ) derived from p_c = R_c p_w + t_c
