@@ -1,0 +1,118 @@
+"""BASELINE config-3 shape: non-rigid fit of a template to a reconstructed
+scan + the Model2Depth re-render/refine loop, end to end on synthetic data.
+
+  render scan depths -> TSDF reconstruct -> deform a template mesh onto the
+  reconstruction (ARAP) -> re-render the deformed model's depth per frame
+  (rasterizer) -> variational refine of measured depths against the model.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiviewstitch_tpu.core.transforms import Similarity
+from multiviewstitch_tpu.ops.tsdf import reconstruct
+from multiviewstitch_tpu.ops.mesh_normals import vertex_normals
+from multiviewstitch_tpu.ops.depth_refine import refine_depth
+from multiviewstitch_tpu.pipeline.fixtures import make_scene, uv_sphere
+from multiviewstitch_tpu.pipeline.deform_render import render_stage
+from multiviewstitch_tpu.solvers.deformation import Deformer
+from multiviewstitch_tpu.solvers.unionfind import retain_largest_component
+
+
+@pytest.fixture(scope="module")
+def loop_artifacts():
+    # scan: an ellipsoid seen from an 8-frame ring (smooth, so the ARAP
+    # fit can follow it through the reference-faithful displacement
+    # smoothing; high-frequency recovery is bounded by that smoothing —
+    # see test_deformation.py for the convergence characterization)
+    from multiviewstitch_tpu.core.cameras import CameraBatch
+    from multiviewstitch_tpu.ops.rasterizer import render_sequence
+    from multiviewstitch_tpu.pipeline.fixtures import ring_cameras
+    from dataclasses import replace as _dc
+
+    verts, faces = uv_sphere(56, 72, radius=0.5)
+    verts = (verts * np.array([1.25, 1.0, 0.85], np.float32))
+    cams = ring_cameras(8, radius=2.0, width=96, img_height=72)
+    disp = np.asarray(render_sequence(
+        jnp.asarray(verts), jnp.asarray(faces),
+        jnp.ones(len(faces), bool), cams, height=72, width=96))
+
+    class SceneLike:
+        pass
+    scene = SceneLike()
+    scene.vertices, scene.faces, scene.cams, scene.disparity = \
+        verts, faces, cams, disp
+
+    scan_v, scan_f, _ = reconstruct(disp, cams, grid=96,
+                                    min_dsp=1e-3, max_dsp=10.0)
+    scan_v, scan_f, _ = retain_largest_component(scan_v, scan_f)
+    return scene, scan_v, scan_f
+
+
+def test_reconstruction_quality(loop_artifacts):
+    scene, scan_v, scan_f = loop_artifacts
+    assert len(scan_v) > 2000
+    # reconstructed surface close to the known mesh
+    d = []
+    for c in range(0, len(scan_v), 4096):
+        blk = scan_v[c:c + 4096]
+        d2 = ((blk[:, None, :] - scene.vertices[None]) ** 2).sum(-1)
+        d.append(np.sqrt(d2.min(1)))
+    rmse = float(np.sqrt((np.concatenate(d) ** 2).mean()))
+    assert rmse < 0.04, rmse
+
+
+def test_nonrigid_fit_to_reconstruction(loop_artifacts):
+    scene, scan_v, scan_f = loop_artifacts
+    scan_n = np.asarray(vertex_normals(jnp.asarray(scan_v),
+                                       jnp.asarray(scan_f)))
+    # template: plain sphere, must deform onto the bumpy reconstruction
+    tv, tf = uv_sphere(24, 32, radius=0.5)
+    d = Deformer(tv.copy(), tf, None)
+
+    def rms_to_scan(pts):
+        out = []
+        for c in range(0, len(pts), 2048):
+            blk = pts[c:c + 2048]
+            d2 = ((blk[:, None, :] - scan_v[None]) ** 2).sum(-1)
+            out.append(np.sqrt(d2.min(1)))
+        return float(np.sqrt((np.concatenate(out) ** 2).mean()))
+
+    before = rms_to_scan(tv)
+    out = tv
+    for _ in range(6):
+        out = d.deform(scan_v.astype(np.float32), scan_n, 100.0, 100.0)
+    after = rms_to_scan(out)
+    # per-pass improvement is damped by the reference-faithful displacement
+    # smoothing (characterized in test_deformation.py); six passes must cut
+    # the residual by >=30%
+    assert after < 0.7 * before, (before, after)
+
+
+def test_render_refine_loop(loop_artifacts):
+    scene, scan_v, scan_f = loop_artifacts
+    # re-render model depth for every frame, then refine measured depths
+    outs = render_stage(scan_v, scan_f, [Similarity.identity()],
+                        [scene.cams])
+    model_disp = outs[0]
+    both = (model_disp > 0) & (scene.disparity > 0)
+    assert both.mean() > 0.05
+    # rendered model depth close to measured (same surface)
+    rel = np.abs(model_disp[both] - scene.disparity[both]) / \
+        scene.disparity[both]
+    assert np.median(rel) < 0.02
+
+    # corrupt measured depths with holes; refinement fills from the model
+    measured = scene.disparity.copy()
+    measured[:, 30:40, 40:56] = 0.0
+    refined = np.asarray(refine_depth(jnp.asarray(measured),
+                                      jnp.asarray(model_disp),
+                                      lam_model=0.5, iters=120))
+    hole = np.zeros_like(measured, bool)
+    hole[:, 30:40, 40:56] = True
+    hole &= model_disp > 0
+    assert hole.any()
+    rel2 = np.abs(refined[hole] - scene.disparity[hole]) / \
+        scene.disparity[hole]
+    assert np.median(rel2) < 0.05
