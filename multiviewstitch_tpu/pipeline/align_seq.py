@@ -69,21 +69,28 @@ class AlignResult:
     metrics: Dict[str, float] = field(default_factory=dict)
 
 
-def _prep_frame_views(seq: Sequence, cfg: StitchConfig, frame: int):
-    """Synthesize views + features for one frame; returns per-view
-    (keypoints, tex_index)."""
+def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
+    """Synthesize all frames' virtual views and detect features in TWO
+    batched dispatches (vmap over frames, detect_batch over frame*view) —
+    the reference loops frames and views serially
+    (CalcSimilarityTransformationSeq, Processor.cpp:543-563).
+
+    Returns (kps with leading dims [N, V], tex_index [N, V, H, W])."""
+    n = seq.gray.shape[0]
+    h, w = seq.gray.shape[1:]
     angles = view_angles(cfg.view_count, cfg.rot_angle)
-    sv = synthesize_views(seq.gray[frame][..., None], seq.cams.K[frame],
-                         seq.cams.R[frame], angles, axis=cfg.axis)
+    sv = jax.vmap(lambda g, K, R: synthesize_views(
+        g[..., None], K, R, angles, axis=cfg.axis))(
+        seq.gray, seq.cams.K, seq.cams.R)
     margins = (cfg.hl_margin_ratio, cfg.hr_margin_ratio,
                cfg.vl_margin_ratio, cfg.vr_margin_ratio)
-    kps = []
-    for v in range(cfg.view_count):
-        kp = detect_and_describe(sv.images[v, ..., 0],
-                                 max_keypoints=cfg.max_keypoints,
-                                 margins=margins)
-        kps.append(kp)
-    return kps, sv.tex_index, sv.images
+    from ..ops.features import detect_batch
+    flat = sv.images[..., 0].reshape(n * cfg.view_count, h, w)
+    kp = detect_batch(flat, max_keypoints=cfg.max_keypoints,
+                      margins=margins)
+    kp = jax.tree_util.tree_map(
+        lambda x: x.reshape((n, cfg.view_count) + x.shape[1:]), kp)
+    return kp, sv.tex_index
 
 
 def _lift_to_3d(pts_map, valid_map, uv):
@@ -115,32 +122,31 @@ def match_sequence_pair(
                                          cfg.min_dsp, cfg.max_dsp)
             maps.append((pm, vm))
 
-    # features on all (frame, view) images of both sequences
-    feats1 = [_prep_frame_views(seq1, cfg, i) for i in range(n1)]
-    feats2 = [_prep_frame_views(seq2, cfg, j) for j in range(n2)]
+    # features on all (frame, view) images of both sequences — two batched
+    # dispatches per sequence
+    kp1, tex1_all = _prep_sequence_views(seq1, cfg)
+    kp2, tex2_all = _prep_sequence_views(seq2, cfg)
 
     candidates: List[PairCandidate] = []
     for i in range(n1):
-        kps1, tex1, _ = feats1[i]
         for j in range(n2):
-            kps2, tex2, _ = feats2[j]
             # gather matches across all view pairs (view_count^2 pairs)
             uv1_all, uv2_all, ok_all = [], [], []
             for vi in range(cfg.view_count):
                 for vj in range(cfg.view_count):
                     m = match_descriptors(
-                        kps1[vi].desc, kps1[vi].valid,
-                        kps2[vj].desc, kps2[vj].valid,
+                        kp1.desc[i, vi], kp1.valid[i, vi],
+                        kp2.desc[j, vj], kp2.valid[j, vj],
                         distmax=cfg.distmax, ratiomax=cfg.ratiomax)
-                    kuv1 = kps1[vi].uv[m.idx1]
-                    kuv2 = kps2[vj].uv[m.idx2]
+                    kuv1 = kp1.uv[i, vi][m.idx1]
+                    kuv2 = kp2.uv[j, vj][m.idx2]
                     # map through texIndex to source-image pixels
                     iu1 = jnp.clip(kuv1.astype(jnp.int32), 0,
                                    jnp.asarray([w - 1, h - 1]))
                     iu2 = jnp.clip(kuv2.astype(jnp.int32), 0,
                                    jnp.asarray([w - 1, h - 1]))
-                    t1 = tex1[vi][iu1[:, 1], iu1[:, 0]]
-                    t2 = tex2[vj][iu2[:, 1], iu2[:, 0]]
+                    t1 = tex1_all[i, vi][iu1[:, 1], iu1[:, 0]]
+                    t2 = tex2_all[j, vj][iu2[:, 1], iu2[:, 0]]
                     ok = m.valid & (t1 >= 0) & (t2 >= 0)
                     suv1 = jnp.stack([t1 % w, t1 // w], -1)
                     suv2 = jnp.stack([t2 % w, t2 // w], -1)
