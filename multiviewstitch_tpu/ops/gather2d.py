@@ -31,63 +31,86 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("band_rows", "window_rows"))
+@partial(jax.jit, static_argnames=("band_rows", "window_rows",
+                                   "tile_cols", "window_cols"))
 def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
-                        *, band_rows: int = 8, window_rows: int = 48):
-    """Banded MXU gather.
+                        *, band_rows: int = 8, window_rows: int = 48,
+                        tile_cols: int = 128, window_cols: int = 256):
+    """Banded + column-tiled MXU gather.
 
     src [H,W] float; iy/ix [Ho,Wo] int32 (any values; out-of-src-bounds
     handled). Returns (values [Ho,Wo], in_window [Ho,Wo] bool). Values for
     pixels with in_window=False are 0 and must be patched by the caller.
+
+    Tiles are (band_rows x tile_cols) output pixels; each reads a source
+    window of (window_rows x window_cols) centered on the tile's MEAN
+    target row/column (mean, not median: median = full sort, slow on TPU;
+    a few wild pixels shift the mean by at most k*H/P rows and become the
+    misses instead of evicting the tile). Column windowing cuts the
+    one-hot operand to window_cols wide: ~W/window_cols x less HBM traffic
+    and MXU work than a full-width one-hot. The matmul stays f32: it is a
+    bit-exact SELECTION (1.0 * x, one term per sum).
     """
     H, W = src.shape
     Ho, Wo = iy.shape
     window_rows = min(window_rows, H)
+    window_cols = min(window_cols, W)
     pad_rows = (-Ho) % band_rows
-    if pad_rows:
-        iy = jnp.pad(iy, ((0, pad_rows), (0, 0)))
-        ix = jnp.pad(ix, ((0, pad_rows), (0, 0)))
+    pad_cols = (-Wo) % tile_cols
+    if pad_rows or pad_cols:
+        # edge padding: zero-padded indices would drag the tile means and
+        # evict real pixels from their windows
+        iy = jnp.pad(iy, ((0, pad_rows), (0, pad_cols)), mode="edge")
+        ix = jnp.pad(ix, ((0, pad_rows), (0, pad_cols)), mode="edge")
     nb = iy.shape[0] // band_rows
+    nt = iy.shape[1] // tile_cols
+    P = band_rows * tile_cols
 
-    iyb = iy.reshape(nb, band_rows * Wo)
-    ixb = ix.reshape(nb, band_rows * Wo)
+    def tilefy(a):
+        return a.reshape(nb, band_rows, nt, tile_cols).transpose(
+            0, 2, 1, 3).reshape(nb, nt, P)
 
-    iy_cl = jnp.clip(iyb, 0, H - 1)
-    ix_cl = jnp.clip(ixb, 0, W - 1)
-    # robust window placement: center on the band's MEAN target row — a few
-    # wild pixels shift the mean by at most k*H/P rows (k outliers among
-    # P=band_rows*W pixels), so they become the misses instead of evicting
-    # the whole band. (Mean, not median: median = full sort, slow on TPU.)
-    ctr = jnp.mean(iy_cl.astype(jnp.float32), axis=1).astype(jnp.int32)
-    base = jnp.clip(ctr - window_rows // 2, 0,
-                    max(H - window_rows, 0))                   # [nb]
+    iy_cl = jnp.clip(tilefy(iy), 0, H - 1)
+    ix_cl = jnp.clip(tilefy(ix), 0, W - 1)
 
-    rel_y = iy_cl - base[:, None]                               # [nb,P]
-    in_win = (rel_y >= 0) & (rel_y < window_rows)
+    ybase = jnp.clip(jnp.mean(iy_cl.astype(jnp.float32), axis=2)
+                     .astype(jnp.int32) - window_rows // 2,
+                     0, max(H - window_rows, 0))                # [nb,nt]
+    xbase = jnp.clip(jnp.mean(ix_cl.astype(jnp.float32), axis=2)
+                     .astype(jnp.int32) - window_cols // 2,
+                     0, max(W - window_cols, 0))                # [nb,nt]
+
+    rel_y = iy_cl - ybase[:, :, None]
+    rel_x = ix_cl - xbase[:, :, None]
+    in_win = ((rel_y >= 0) & (rel_y < window_rows) &
+              (rel_x >= 0) & (rel_x < window_cols))
     rel_y = jnp.clip(rel_y, 0, window_rows - 1)
+    rel_x = jnp.clip(rel_x, 0, window_cols - 1)
 
-    # per-band source windows [nb, WY, W]
-    def slice_band(b):
-        return jax.lax.dynamic_slice_in_dim(src, b, window_rows, axis=0)
-    win = jax.vmap(slice_band)(base)
+    # per-tile source windows [nb, nt, WY, WX]
+    def slice_tile(yb, xb):
+        return jax.lax.dynamic_slice(src, (yb, xb),
+                                     (window_rows, window_cols))
+    win = jax.vmap(jax.vmap(slice_tile))(ybase, xbase)
 
-    # one-hot(ix) matmul: [nb, P, W] x [nb, W, WY] -> [nb, P, WY]
-    # one-hot and window stay f32: the matmul is a SELECTION and must be
-    # bit-exact (1.0 * x sums over one term); bf16 would round the data
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-    onehot = (ix_cl[:, :, None] == cols).astype(src.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_cols), 3)
+    onehot = (rel_x[:, :, :, None] == cols).astype(src.dtype)
     tmp = jax.lax.dot_general(
-        onehot, jnp.swapaxes(win, 1, 2),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                     # [nb,P,WY]
+        onehot, jnp.swapaxes(win, 2, 3),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)                 # [nb,nt,P,WY]
 
     # row select: masked sum over the WY axis (VPU)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, window_rows), 2)
-    rowsel = (rel_y[:, :, None] == rows)
-    vals = jnp.sum(jnp.where(rowsel, tmp, 0.0), axis=2)         # [nb,P]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_rows), 3)
+    rowsel = (rel_y[:, :, :, None] == rows)
+    vals = jnp.sum(jnp.where(rowsel, tmp, 0.0), axis=3)     # [nb,nt,P]
 
-    vals = vals.reshape(nb * band_rows, Wo)[:Ho]
-    in_win = in_win.reshape(nb * band_rows, Wo)[:Ho]
+    def untile(a):
+        return a.reshape(nb, nt, band_rows, tile_cols).transpose(
+            0, 2, 1, 3).reshape(nb * band_rows, nt * tile_cols)
+
+    vals = untile(vals)[:Ho, :Wo]
+    in_win = untile(in_win)[:Ho, :Wo]
     return jnp.where(in_win, vals, 0.0), in_win
 
 
