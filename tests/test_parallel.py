@@ -98,3 +98,37 @@ def test_frame_sharded_frontend_matches_single_device(mesh):
     ref = run()
     sharded = run(shard_along(mesh, "views"))
     np.testing.assert_array_equal(ref, sharded)
+
+
+def test_sharded_arap_matches_unsharded(mesh):
+    """Edge-sharded ARAP == single-device ARAP (deformation-graph blocks)."""
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.pipeline.fixtures import uv_sphere
+    from multiviewstitch_tpu.solvers import deformation as D
+    from multiviewstitch_tpu.parallel.arap_dist import (arap_solve_sharded,
+                                                        pad_edges)
+
+    v, f = uv_sphere(16, 22, radius=1.0)
+    edges = D.mesh_edges(f)
+    w = D.cotangent_weights(v, f, edges)
+    ang = np.radians(25)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    moved = (R @ v.T).T + np.array([0.2, -0.1, 0.3], np.float32)
+    constrained = np.zeros(len(v), bool)
+    constrained[D.uniform_sampling(v)] = True
+    targets = jnp.asarray(np.where(constrained[:, None], moved, 0.0))
+
+    prob = D.ARAPProblem(jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+                         jnp.asarray(constrained), targets)
+    ref = np.asarray(D.arap_solve(prob, outer_iters=6, cg_iters=200))
+
+    ep, wp = pad_edges(edges, w, 8)
+    prob_p = D.ARAPProblem(jnp.asarray(v), jnp.asarray(ep), jnp.asarray(wp),
+                           jnp.asarray(constrained), targets)
+    out = np.asarray(arap_solve_sharded(prob_p, mesh=mesh, outer_iters=6,
+                                        cg_iters=200))
+    # same optimum: rigid motion reproduced everywhere, and the sharded
+    # solve agrees with the unsharded one to reduction-order tolerance
+    np.testing.assert_allclose(out, moved, atol=0.03)
+    np.testing.assert_allclose(out, ref, atol=5e-3)
