@@ -35,7 +35,8 @@ import jax.numpy as jnp
                                    "tile_cols", "window_cols"))
 def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
                         *, band_rows: int = 8, window_rows: int = 48,
-                        tile_cols: int = 128, window_cols: int = 256):
+                        tile_cols: int = 1 << 30,
+                        window_cols: int = 1 << 30):
     """Banded + column-tiled MXU gather.
 
     src [H,W] float; iy/ix [Ho,Wo] int32 (any values; out-of-src-bounds
@@ -47,14 +48,18 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     target row/column (mean, not median: median = full sort, slow on TPU;
     a few wild pixels shift the mean by at most k*H/P rows and become the
     misses instead of evicting the tile). Column windowing cuts the
-    one-hot operand to window_cols wide: ~W/window_cols x less HBM traffic
-    and MXU work than a full-width one-hot. The matmul stays f32: it is a
-    bit-exact SELECTION (1.0 * x, one term per sum).
+    one-hot operand to window_cols wide. NOTE: measured on the v5e, the
+    extra per-tile dynamic window slices cost MORE than the narrower
+    one-hot saves (499 -> 213 fps on the front-end bench), so the default
+    is a single full-width tile per band; the tiled mode stays available
+    for architectures where slicing is cheap. The matmul stays f32: it is
+    a bit-exact SELECTION (1.0 * x, one term per sum).
     """
     H, W = src.shape
     Ho, Wo = iy.shape
     window_rows = min(window_rows, H)
     window_cols = min(window_cols, W)
+    tile_cols = min(tile_cols, Wo)
     pad_rows = (-Ho) % band_rows
     pad_cols = (-Wo) % tile_cols
     if pad_rows or pad_cols:
