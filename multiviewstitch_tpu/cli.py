@@ -174,7 +174,12 @@ def cmd_render(args) -> int:
     from .pipeline.fixtures import ring_cameras
 
     result_dir = os.path.join(args.workdir, "Result")
-    verts, _, faces = read_obj(os.path.join(result_dir, "deform.obj"))
+    deform_path = os.path.join(result_dir, "deform.obj")
+    if not os.path.exists(deform_path):
+        _log(f"{deform_path} not found — run `mvs deform` (or `pipeline`) "
+             "first")
+        return 2
+    verts, _, faces = read_obj(deform_path)
     srt_path = os.path.join(result_dir, "SRT.txt")
     if os.path.exists(srt_path):
         transforms = load_srt(srt_path)

@@ -238,8 +238,30 @@ def detect_and_describe(
             per = oh * ow
             sflat = flat % per
             sidx = flat // per
-            uu = (sflat % ow).astype(jnp.float32) * (2.0 ** octave)
-            vv = (sflat // ow).astype(jnp.float32) * (2.0 ** octave)
+            ui = (sflat % ow).astype(jnp.int32)
+            vi = (sflat // ow).astype(jnp.int32)
+
+            # subpixel refinement: 2D quadratic fit on the keypoint's DoG
+            # response neighborhood (offset = -H^-1 g, clamped to +-0.5)
+            dsel = jnp.abs(dogs[jnp.clip(sidx + 1, 0, dogs.shape[0] - 1)])
+
+            def at(dy, dx):
+                yy2 = jnp.clip(vi + dy, 0, oh - 1)
+                xx2 = jnp.clip(ui + dx, 0, ow - 1)
+                return dsel[jnp.arange(kk), yy2, xx2]
+
+            gx = 0.5 * (at(0, 1) - at(0, -1))
+            gy = 0.5 * (at(1, 0) - at(-1, 0))
+            hxx = at(0, 1) + at(0, -1) - 2 * at(0, 0)
+            hyy = at(1, 0) + at(-1, 0) - 2 * at(0, 0)
+            hxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+            det = hxx * hyy - hxy * hxy
+            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            offx = jnp.clip(-(hyy * gx - hxy * gy) / det, -0.5, 0.5)
+            offy = jnp.clip(-(hxx * gy - hxy * gx) / det, -0.5, 0.5)
+
+            uu = (ui.astype(jnp.float32) + offx) * (2.0 ** octave)
+            vv = (vi.astype(jnp.float32) + offy) * (2.0 ** octave)
             all_uv.append(jnp.stack([uu, vv], -1))
             all_score.append(score)
             # sampling step ~ the level's sigma in source pixels
