@@ -78,10 +78,19 @@ def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
     Returns (kps with leading dims [N, V], tex_index [N, V, H, W])."""
     n = seq.gray.shape[0]
     h, w = seq.gray.shape[1:]
+    gray = seq.gray
+    if cfg.segment:
+        # foreground masking before detection — the reference's GrabCut
+        # step (Image3D.cpp:23-51); with depth available the valid-range
+        # test IS the robust mask
+        from ..ops.segmentation import foreground_from_disparity
+        fg = foreground_from_disparity(seq.disparity, cfg.min_dsp,
+                                       cfg.max_dsp)
+        gray = jnp.where(fg, gray, 0.0)
     angles = view_angles(cfg.view_count, cfg.rot_angle)
     sv = jax.vmap(lambda g, K, R: synthesize_views(
         g[..., None], K, R, angles, axis=cfg.axis))(
-        seq.gray, seq.cams.K, seq.cams.R)
+        gray, seq.cams.K, seq.cams.R)
     margins = (cfg.hl_margin_ratio, cfg.hr_margin_ratio,
                cfg.vl_margin_ratio, cfg.vr_margin_ratio)
     from ..ops.features import detect_batch
@@ -204,7 +213,8 @@ def match_sequence_pair(
 
 
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
-                    seed: int = 0, refine: bool = False) -> AlignResult:
+                    seed: int = 0, refine: bool = False,
+                    all_pairs: bool = False) -> AlignResult:
     """Chain all sequences into the last sequence's frame
     (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833).
 
@@ -241,6 +251,22 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
             for c in cands:
                 if c.num_matches >= cfg.min_match_count:
                     pairs.append((k, k + 1, c.p1, c.p2, c.mask))
+        if all_pairs:
+            # densify the view graph with skip edges (k, l>k+1): the
+            # reference only ever links consecutive sequences
+            # (Processor.cpp:629); extra edges over-determine the pose
+            # graph and pin down drift
+            for k in range(len(seqs) - 2):
+                for l in range(k + 2, len(seqs)):
+                    key, sub = jax.random.split(key)
+                    try:
+                        _, _, cands = match_sequence_pair(
+                            seqs[k], seqs[l], cfg, sub)
+                    except RuntimeError:
+                        continue
+                    for c in cands:
+                        if c.num_matches >= cfg.min_match_count:
+                            pairs.append((k, l, c.p1, c.p2, c.mask))
         if pairs:
             data = build_data(pairs, max_matches=cfg.max_matches)
             refined, rmse = refine_pose_graph(transforms, data)

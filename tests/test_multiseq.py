@@ -83,3 +83,22 @@ def test_three_sequence_refined_at_least_as_good(three_seq):
         return np.mean(errs)
 
     assert total_err(refined) <= total_err(chain) * 1.5
+
+
+def test_three_sequence_all_pairs_refine(three_seq):
+    seqs, gts, scenes = three_seq
+    result = align_sequences(seqs, CFG, seed=0, refine=True, all_pairs=True)
+    assert result.metrics.get("pose_graph_edges", 0) >= 2
+    _check(result, gts, 0.08, 4.0, 0.12)
+
+
+def test_segment_flag_pipeline(three_seq):
+    seqs, gts, scenes = three_seq
+    cfg = CFG.replace(segment=True)
+    result = align_sequences(seqs[:2], cfg, seed=0)
+    # segmentation must not break alignment on the demo scenes (masking
+    # adds silhouette edges, so tolerance is looser than the unmasked path)
+    from multiviewstitch_tpu.core.transforms import inverse
+    T = result.transforms[0]
+    gt = inverse(gts[0])
+    assert abs(float(T.s) - float(gt.s)) / float(gt.s) < 0.15
