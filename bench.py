@@ -36,6 +36,14 @@ def make_inputs(n=8, h=480, w=640):
 
 def main():
     import jax
+    try:
+        # persistent compile cache: repeated bench runs (e.g. the round
+        # driver) skip the slow remote compile
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/mvs_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from multiviewstitch_tpu.core.cameras import CameraBatch
     from multiviewstitch_tpu.ops.consistency import check_consistency

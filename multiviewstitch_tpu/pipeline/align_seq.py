@@ -214,7 +214,8 @@ def match_sequence_pair(
 
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                     seed: int = 0, refine: bool = False,
-                    all_pairs: bool = False) -> AlignResult:
+                    all_pairs: bool = False,
+                    debug_dir: str = None) -> AlignResult:
     """Chain all sequences into the last sequence's frame
     (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833).
 
@@ -233,6 +234,20 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
         keyframes.append((best.frame_i, best.frame_j))
         residuals.append(best.residual)
         all_candidates.append((k, cands))
+
+        if debug_dir or cfg.debug_artifacts:
+            # the reference's Match/match%d_%d_%d.jpg dumps
+            # (Processor.cpp:767-793)
+            import os
+            from ..utils.debug_artifacts import save_match_visualization
+            d = debug_dir or "./Match"
+            os.makedirs(d, exist_ok=True)
+            save_match_visualization(
+                os.path.join(d, f"match{k}_{best.frame_i}_"
+                                f"{best.frame_j}.png"),
+                np.asarray(seqs[k].gray[best.frame_i]),
+                np.asarray(seqs[k + 1].gray[best.frame_j]),
+                best.uv1, best.uv2, best.mask)
 
     # cumulative transforms: sequence k -> final frame (left-compose chain,
     # Processor.cpp:819-823)
