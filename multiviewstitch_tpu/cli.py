@@ -107,8 +107,11 @@ def cmd_align(args) -> int:
         return 0
 
     _log(f"aligning {len(seqs)} sequences ...")
+    dbg = os.path.join(args.workdir, "Match") if getattr(
+        args, "debug_artifacts", False) else None
     result = align_sequences(seqs, cfg, seed=0,
-                             refine=getattr(args, "refine", False))
+                             refine=getattr(args, "refine", False),
+                             debug_dir=dbg)
     save_srt(os.path.join(result_dir, "SRT.txt"), result.transforms)
     _log(f"pose chain solved (residuals {result.residuals}); "
          f"SRT.txt written")
@@ -234,6 +237,8 @@ def main(argv=None) -> int:
                    help="recompute even if the manifest says up to date")
     a.add_argument("--refine", action="store_true",
                    help="global pose-graph refinement over all matches")
+    a.add_argument("--debug-artifacts", action="store_true",
+                   help="dump match visualizations to <workdir>/Match/")
     a.set_defaults(fn=cmd_align)
 
     d = sub.add_parser("deform", parents=[common])
