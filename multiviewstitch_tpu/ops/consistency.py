@@ -32,7 +32,12 @@ from ..core.cameras import CameraBatch, project, unproject, pixel_grid
 
 def _use_mxu_gather() -> bool:
     """The banded one-hot-matmul gather wins on TPU (XLA's scalar gather
-    path is ~12ns/element there); on CPU the plain gather is faster."""
+    path is ~12ns/element there); on CPU the plain gather is faster.
+    MVS_DISABLE_MXU_GATHER=1 forces the plain path (e.g. for quick compile
+    checks — the banded program takes minutes through a remote compiler)."""
+    import os as _os
+    if _os.environ.get("MVS_DISABLE_MXU_GATHER") == "1":
+        return False
     import jax as _jax
     return _jax.default_backend() in ("tpu", "axon")
 
