@@ -85,7 +85,11 @@ def save_parts(path: str, labels: np.ndarray):
 def _nn_chunk(query, ref):
     """Nearest ref index for each query point; distance matrix via matmul."""
     # |q - r|^2 = |q|^2 - 2 q.r + |r|^2 ; argmin over r
-    qr = jnp.dot(query, ref.T, preferred_element_type=jnp.float32)
+    # K=3 contraction: full-precision operands are free here, and the
+    # |q|^2-2qr+|r|^2 cancellation amplifies bf16 operand rounding enough
+    # to flip close 1-NN decisions on TPU
+    qr = jnp.dot(query, ref.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d2 = (jnp.sum(query * query, -1, keepdims=True) - 2.0 * qr +
           jnp.sum(ref * ref, -1)[None, :])
     return jnp.argmin(d2, axis=1)

@@ -94,7 +94,8 @@ def find_correspondences(
     # distance matrix on the MXU
     d2 = (jnp.sum(controls ** 2, -1, keepdims=True)
           - 2.0 * jnp.dot(controls, tpts.T,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(tpts ** 2, -1)[None, :])               # [C,T]
     d2 = jnp.maximum(d2, 0.0)
     d2min = jnp.min(d2, axis=1, keepdims=True)

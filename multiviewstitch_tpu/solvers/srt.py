@@ -58,7 +58,10 @@ def kabsch_rt(p1, p2, weights, scale) -> Tuple[jnp.ndarray, jnp.ndarray]:
     c2 = (p2 * w).sum(-2, keepdims=True) / wsum
     X = (p1 - c1) * jnp.asarray(scale)[..., None, None]
     Y = p2 - c2
-    S = jnp.einsum("...ni,...nj->...ij", X * w, Y)
+    # full f32 accumulation: the covariance reduction spans every point, and
+    # the TPU default (bf16 operands) loses enough bits to deorthogonalize R
+    S = jnp.einsum("...ni,...nj->...ij", X * w, Y,
+                   precision=jax.lax.Precision.HIGHEST)
     U, _, Vt = jnp.linalg.svd(S)
     V = jnp.swapaxes(Vt, -1, -2)
     det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", V, U))
