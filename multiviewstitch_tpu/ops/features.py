@@ -264,8 +264,23 @@ def detect_and_describe(
             vv = (vi.astype(jnp.float32) + offy) * (2.0 ** octave)
             all_uv.append(jnp.stack([uu, vv], -1))
             all_score.append(score)
+
+            # scale interpolation: 1D quadratic fit along the DoG scale
+            # axis at the keypoint pixel (same -g/H recipe as the spatial
+            # fit), so sigma lands between discrete pyramid levels
+            def at_s(ds):
+                ss = jnp.clip(sidx + 1 + ds, 0, dogs.shape[0] - 1)
+                return jnp.abs(dogs[ss, jnp.clip(vi, 0, oh - 1),
+                                    jnp.clip(ui, 0, ow - 1)])
+
+            gs1 = 0.5 * (at_s(1) - at_s(-1))
+            hss = at_s(1) + at_s(-1) - 2 * at_s(0)
+            hss = jnp.where(jnp.abs(hss) < 1e-12, -1e-12, hss)
+            offs = jnp.clip(-gs1 / hss, -0.5, 0.5)
+
             # sampling step ~ the level's sigma in source pixels
-            lvl_sigma = sigma0 * (k ** (sidx.astype(jnp.float32) + 1.0))
+            lvl_sigma = sigma0 * (k ** (sidx.astype(jnp.float32) + 1.0 +
+                                        offs))
             all_scale.append(lvl_sigma / sigma0 * (2.0 ** octave))
             if octave + 1 < num_levels:
                 base = _downsample2(gs[scales_per_octave])
