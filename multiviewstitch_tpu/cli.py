@@ -189,10 +189,13 @@ def cmd_render(args) -> int:
     else:
         from .core.transforms import Similarity
         transforms = [Similarity.identity()]
-    # demo cameras (real runs would LoadCameras from .act files)
-    cams = ring_cameras(4, radius=3.0, width=160, img_height=120,
-                        arc_deg=60.0,
-                        look_at=tuple(verts.mean(0).tolist()))
+    # demo cameras (real runs would LoadCameras from .act files); frame the
+    # ring to the mesh's bounding sphere so the render actually covers it
+    center = verts.mean(0)
+    bound = float(np.linalg.norm(verts - center, axis=1).max())
+    cams = ring_cameras(4, radius=max(2.5 * bound, 1e-3), width=160,
+                        img_height=120, arc_deg=60.0,
+                        look_at=tuple(center.tolist()))
     outs = render_stage(verts, faces, transforms[:1] * 1, [cams],
                         out_dirs=[args.workdir])
     cover = float((outs[0] > 0).mean())

@@ -93,7 +93,7 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
                          memory_space=pltpu.VMEM),       # iy
             pl.BlockSpec((band_rows, W), lambda b, base_r: (b, 0),
                          memory_space=pltpu.VMEM),       # ix
-            pl.BlockSpec(memory_space=pltpu.ANY),        # src stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),           # src stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((band_rows, W), lambda b, base_r: (b, 0),
