@@ -157,3 +157,17 @@ def test_detect_batch_shapes():
     n = np.linalg.norm(np.asarray(kp.desc), axis=-1)
     ok = np.asarray(kp.valid)
     np.testing.assert_allclose(n[ok], 1.0, atol=1e-3)
+
+
+def test_dog_scales_are_interpolated_off_grid():
+    """Scale interpolation (1D fit along the DoG scale axis): detected
+    sigmas must be continuous, not snapped to the discrete k^s pyramid."""
+    img = checkerboard_with_dots(seed=7)
+    kp = detect_and_describe(jnp.asarray(img), max_keypoints=128)
+    sc = np.asarray(kp.scale)[np.asarray(kp.valid, bool)]
+    assert len(sc) > 20
+    k = 2.0 ** (1.0 / 3.0)
+    grid = k ** np.arange(0, 12, dtype=np.float64)
+    grid = np.concatenate([grid, 2 * grid, 4 * grid])
+    off_grid = np.min(np.abs(sc[:, None] - grid[None, :]), axis=1) > 1e-4
+    assert off_grid.mean() > 0.3
