@@ -83,32 +83,68 @@ def _nms3(r: jnp.ndarray):
     return r >= m
 
 
-def _orientation(img, uv, radius: int = 8):
-    """Dominant gradient orientation in a (2r)^2 window (36-bin histogram,
-    Gaussian-weighted, like SIFT)."""
+def _bilinear(img, yy, xx):
     h, w = img.shape
-    d = jnp.arange(-radius, radius)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(xx - x0, 0.0, 1.0)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
+            v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _orientation(img, uv, scale, radius: int = 8):
+    """Dominant gradient orientation (36-bin Gaussian-weighted histogram,
+    like SIFT). The window is SCALE-ADAPTIVE: gradients are sampled on a
+    grid spaced by the keypoint's scale, so the measured orientation is
+    the same structure the descriptor grid sees at any pyramid level —
+    a fixed-pixel window decorrelates orientation from the descriptor for
+    large-scale keypoints and costs matching recall across zooms."""
+    d = jnp.arange(-radius, radius, dtype=jnp.float32) + 0.5
     dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    px = jnp.clip(uv[0].astype(jnp.int32) + dx, 1, w - 2)
-    py = jnp.clip(uv[1].astype(jnp.int32) + dy, 1, h - 2)
-    gx = (img[py, jnp.clip(px + 1, 0, w - 1)] -
-          img[py, jnp.clip(px - 1, 0, w - 1)]) * 0.5
-    gy = (img[jnp.clip(py + 1, 0, h - 1), px] -
-          img[jnp.clip(py - 1, 0, h - 1), px]) * 0.5
+    sx = uv[0] + scale * dx
+    sy = uv[1] + scale * dy
+    eps = 0.5 * scale
+    gx = _bilinear(img, sy, sx + eps) - _bilinear(img, sy, sx - eps)
+    gy = _bilinear(img, sy + eps, sx) - _bilinear(img, sy - eps, sx)
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)
     wgt = jnp.exp(-0.5 * ((dx ** 2 + dy ** 2) / (radius * radius / 2.25)))
-    bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
-    hist = jnp.zeros((36,)).at[bins.ravel()].add((mag * wgt).ravel())
-    # smooth circularly then take the peak
+    # soft-bin the angle into the two nearest of 36 bins (linear split)
+    pos = (ang + jnp.pi) / (2 * jnp.pi) * 36.0 - 0.5
+    b0 = jnp.floor(pos)
+    f = pos - b0
+    b0i = b0.astype(jnp.int32) % 36
+    b1i = (b0i + 1) % 36
+    contrib = mag * wgt
+    hist = jnp.zeros((36,)).at[b0i.ravel()].add(
+        (contrib * (1 - f)).ravel()).at[b1i.ravel()].add(
+        (contrib * f).ravel())
+    # smooth circularly then take the peak with parabolic interpolation
     hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
     peak = jnp.argmax(hist)
-    return (peak.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+    hl = hist[(peak - 1) % 36]
+    hc = hist[peak]
+    hr = hist[(peak + 1) % 36]
+    den = hl - 2 * hc + hr
+    off = jnp.where(jnp.abs(den) < 1e-12, 0.0,
+                    jnp.clip(0.5 * (hl - hr) / den, -0.5, 0.5))
+    return ((peak.astype(jnp.float32) + 0.5 + off) / 36.0 *
+            2 * jnp.pi - jnp.pi)
 
 
 def _descriptor(img, uv, scale, angle):
-    """128-d SIFT-layout descriptor at (uv, scale, angle) on image [H,W]."""
-    h, w = img.shape
+    """128-d SIFT-layout descriptor at (uv, scale, angle) on image [H,W].
+
+    Gradient samples are TRILINEARLY soft-binned (bilinear across the 4x4
+    spatial cells x linear across the 8 orientation bins), the scheme
+    Lowe's SIFT uses: hard binning makes the descriptor discontinuous in
+    keypoint position/orientation and measurably costs matching recall
+    under rotation (harness: tests/test_feature_recall.py)."""
     # 16x16 sampling grid rotated by angle, spaced by `scale`
     g = (jnp.arange(16, dtype=jnp.float32) - 7.5)
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
@@ -116,33 +152,49 @@ def _descriptor(img, uv, scale, angle):
     sx = uv[0] + scale * (ca * gx - sa * gy)
     sy = uv[1] + scale * (sa * gx + ca * gy)
 
-    def bilinear(yy, xx):
-        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
-        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
-        fx = jnp.clip(xx - x0, 0.0, 1.0)
-        fy = jnp.clip(yy - y0, 0.0, 1.0)
-        v00 = img[y0, x0]
-        v01 = img[y0, x0 + 1]
-        v10 = img[y0 + 1, x0]
-        v11 = img[y0 + 1, x0 + 1]
-        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
-                v10 * (1 - fx) * fy + v11 * fx * fy)
-
-    # gradients in the rotated frame (finite differences along grid axes)
+    # gradients rotated into the keypoint frame (sample along image axes,
+    # rotate the vector by -angle: cheaper and better conditioned than
+    # differencing along rotated directions)
     eps = 0.5 * scale
-    gxv = (bilinear(sy, sx + eps * ca) - bilinear(sy, sx - eps * ca) +
-           bilinear(sy + eps * sa, sx) - bilinear(sy - eps * sa, sx))
-    gyv = (bilinear(sy + eps * ca, sx) - bilinear(sy - eps * ca, sx) -
-           bilinear(sy, sx + eps * sa) + bilinear(sy, sx - eps * sa))
+    gxi = _bilinear(img, sy, sx + eps) - _bilinear(img, sy, sx - eps)
+    gyi = _bilinear(img, sy + eps, sx) - _bilinear(img, sy - eps, sx)
+    gxv = ca * gxi + sa * gyi
+    gyv = -sa * gxi + ca * gyi
     mag = jnp.sqrt(gxv * gxv + gyv * gyv)
     ang = jnp.arctan2(gyv, gxv)
 
     wgt = jnp.exp(-0.5 * ((gx ** 2 + gy ** 2) / 64.0))
-    obin = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
-    cell = (jnp.clip((gy + 8) // 4, 0, 3).astype(jnp.int32) * 4 +
-            jnp.clip((gx + 8) // 4, 0, 3).astype(jnp.int32))
-    idx = cell * 8 + obin
-    desc = jnp.zeros((128,)).at[idx.ravel()].add((mag * wgt).ravel())
+    contrib = (mag * wgt).ravel()
+
+    # trilinear soft binning
+    opos = (ang + jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
+    ob0 = jnp.floor(opos)
+    of = (opos - ob0).ravel()
+    ob0 = ob0.astype(jnp.int32).ravel() % 8
+    ob1 = (ob0 + 1) % 8
+
+    # cell-space coordinates: cells are 4 samples wide, centers at
+    # -6,-2,2,6 in grid units -> continuous cell index in [-0.5, 3.5]
+    cxpos = (gx.ravel() + 6.0) / 4.0
+    cypos = (gy.ravel() + 6.0) / 4.0
+    cx0 = jnp.floor(cxpos)
+    cy0 = jnp.floor(cypos)
+    fx = cxpos - cx0
+    fy = cypos - cy0
+    cx0 = cx0.astype(jnp.int32)
+    cy0 = cy0.astype(jnp.int32)
+
+    desc = jnp.zeros((128,))
+    for dcy, wy_ in ((0, 1.0 - fy), (1, fy)):
+        cy = cy0 + dcy
+        okY = (cy >= 0) & (cy <= 3)
+        for dcx, wx_ in ((0, 1.0 - fx), (1, fx)):
+            cx = cx0 + dcx
+            okX = (cx >= 0) & (cx <= 3)
+            cell = (jnp.clip(cy, 0, 3) * 4 + jnp.clip(cx, 0, 3))
+            ww = jnp.where(okY & okX, wy_ * wx_, 0.0) * contrib
+            desc = desc.at[cell * 8 + ob0].add(ww * (1.0 - of))
+            desc = desc.at[cell * 8 + ob1].add(ww * of)
     n = jnp.maximum(jnp.linalg.norm(desc), 1e-8)
     desc = jnp.minimum(desc / n, 0.2)
     return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
@@ -313,7 +365,7 @@ def detect_and_describe(
     scale = scale[sel]
     valid = jnp.isfinite(score_top) & (score_top > min_score)
 
-    ang = jax.vmap(lambda p: _orientation(img, p))(uv)
+    ang = jax.vmap(lambda p, s: _orientation(img, p, s))(uv, scale)
     desc = jax.vmap(lambda p, s, a: _descriptor(img, p, s, a))(
         uv, scale, ang)
     desc = jnp.where(valid[:, None], desc, 0.0)
