@@ -1,0 +1,153 @@
+"""Solver latency harness: BA ms/iter and ARAP (deformation) ms/iter.
+
+BASELINE.md lists "BA + deformation solve ms/iter" as first-class metrics
+(the reference has no solver benchmarks at all — its only timing is a
+clock() print around PartRecog, Alignment.cpp:46-52). This measures:
+
+  - bundle adjustment: one damped Gauss-Newton + Schur step (solvers/ba.py
+    gn_step) on a synthetic 16-camera / 2048-point problem, chained
+    on-device via lax.scan so host round trips are excluded
+  - ARAP deformation: solvers/deformation.arap_solve on a ~3k-vertex
+    sphere (5 local-global outer iterations x 60 CG iterations), the shape
+    of the reference's CGAL deform(5, 1e-4) call (Deformation.cpp:398)
+
+Usage: python bench/solvers.py   (runs on the default backend; pass --cpu
+to force the host CPU for a baseline number). Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def synth_ba(n_cams=16, n_pts=2048, seed=0):
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.solvers import ba
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1]],
+                 np.float32)
+    pts = rng.uniform(-0.8, 0.8, size=(n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 5.0
+    rvec = np.stack([[0.0, (i - n_cams / 2) * 0.04, 0.0]
+                     for i in range(n_cams)]).astype(np.float32)
+    tvec = np.stack([[0.1 * i, 0.0, 0.0]
+                     for i in range(n_cams)]).astype(np.float32)
+
+    cam_idx = np.repeat(np.arange(n_cams), n_pts)
+    pt_idx = np.tile(np.arange(n_pts), n_cams)
+    uvs = []
+    for c in range(n_cams):
+        R = np.asarray(ba.rodrigues(jnp.asarray(rvec[c])))
+        pc = (R @ pts.T).T + tvec[c]
+        uvs.append(np.stack([K[0, 0] * pc[:, 0] / pc[:, 2] + K[0, 2],
+                             K[1, 1] * pc[:, 1] / pc[:, 2] + K[1, 2]], -1))
+    uv = np.concatenate(uvs) + rng.normal(
+        size=(n_cams * n_pts, 2)).astype(np.float32) * 0.5
+
+    prob = ba.make_problem(K, cam_idx, pt_idx, uv, n_pts,
+                           max_obs_per_point=n_cams, n_cams=n_cams)
+    st = ba.BAState(
+        jnp.asarray(rvec + rng.normal(size=rvec.shape).astype(np.float32)
+                    * 0.01),
+        jnp.asarray(tvec + rng.normal(size=tvec.shape).astype(np.float32)
+                    * 0.03),
+        jnp.asarray(pts + rng.normal(size=pts.shape).astype(np.float32)
+                    * 0.02))
+    return prob, st
+
+
+def bench_ba(reps=8):
+    import jax
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.solvers import ba
+
+    prob, st = synth_ba()
+    n_cams = st.rvec.shape[0]
+    n_pts = st.points.shape[0]
+
+    @jax.jit
+    def chained(st):
+        def body(carry, _):
+            new, _ = ba.gn_step(prob, carry, jnp.float32(1e-3),
+                                num_cams=n_cams, num_points=n_pts)
+            return new, None
+        out, _ = jax.lax.scan(body, st, None, length=reps)
+        return out
+
+    out = chained(st)
+    _ = float(out.points[0, 0])                 # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(st)
+        _ = float(out.points[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps * 1e3
+
+
+def bench_arap(outer=5, cg=60):
+    import jax
+    from multiviewstitch_tpu.pipeline.fixtures import uv_sphere
+    from multiviewstitch_tpu.solvers import deformation as D
+    import jax.numpy as jnp
+
+    v, f = uv_sphere(48, 64, radius=1.0)
+    edges = D.mesh_edges(f)
+    w = D.cotangent_weights(v, f, edges)
+    rng = np.random.default_rng(0)
+    sidx = D.uniform_sampling(v)
+    constrained = np.zeros(len(v), bool)
+    constrained[sidx] = True
+    targets = v.copy()
+    targets[sidx] += rng.normal(size=(len(sidx), 3)).astype(np.float32) * 0.02
+    prob = D.ARAPProblem(jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+                         jnp.asarray(constrained), jnp.asarray(targets))
+
+    run = jax.jit(lambda p: D.arap_solve(p, outer_iters=outer, cg_iters=cg))
+    out = run(prob)
+    _ = float(out[0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(prob)
+        _ = float(out[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / outer * 1e3, len(v)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force host CPU (baseline measurement)")
+    args = ap.parse_args()
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax._src import xla_bridge
+            xla_bridge._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mvs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    ba_ms = bench_ba()
+    arap_ms, nv = bench_arap()
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "ba_ms_per_iter": round(ba_ms, 3),
+        "ba_problem": "16 cams x 2048 pts, Schur GN step",
+        "arap_ms_per_outer_iter": round(arap_ms, 3),
+        "arap_problem": f"{nv}-vertex sphere, 60 CG iters per outer",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,17 +124,31 @@ def _orientation(img, uv, scale, radius: int = 8):
     hist = jnp.zeros((36,)).at[b0i.ravel()].add(
         (contrib * (1 - f)).ravel()).at[b1i.ravel()].add(
         (contrib * f).ravel())
-    # smooth circularly then take the peak with parabolic interpolation
+    # smooth circularly then take the peaks with parabolic interpolation
     hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+
+    def refine(peak):
+        hl = hist[(peak - 1) % 36]
+        hc = hist[peak]
+        hr = hist[(peak + 1) % 36]
+        den = hl - 2 * hc + hr
+        off = jnp.where(jnp.abs(den) < 1e-12, 0.0,
+                        jnp.clip(0.5 * (hl - hr) / den, -0.5, 0.5))
+        return ((peak.astype(jnp.float32) + 0.5 + off) / 36.0 *
+                2 * jnp.pi - jnp.pi)
+
     peak = jnp.argmax(hist)
-    hl = hist[(peak - 1) % 36]
-    hc = hist[peak]
-    hr = hist[(peak + 1) % 36]
-    den = hl - 2 * hc + hr
-    off = jnp.where(jnp.abs(den) < 1e-12, 0.0,
-                    jnp.clip(0.5 * (hl - hr) / den, -0.5, 0.5))
-    return ((peak.astype(jnp.float32) + 0.5 + off) / 36.0 *
-            2 * jnp.pi - jnp.pi)
+    # second peak (local max outside +-1 bin of the first), SIFT-style:
+    # a keypoint whose histogram has a rival peak >= 0.8*max is ambiguous
+    # in orientation; the caller may emit a duplicate keypoint at angle2
+    bins = jnp.arange(36)
+    near = jnp.minimum((bins - peak) % 36, (peak - bins) % 36) <= 1
+    is_lmax = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+    h2 = jnp.where(near | ~is_lmax, -jnp.inf, hist)
+    peak2 = jnp.argmax(h2)
+    ratio2 = jnp.where(jnp.isfinite(h2[peak2]),
+                       h2[peak2] / jnp.maximum(hist[peak], 1e-12), 0.0)
+    return refine(peak), refine(peak2), ratio2
 
 
 def _descriptor(img, uv, scale, angle):
@@ -363,9 +377,24 @@ def detect_and_describe(
     score_top, sel = jax.lax.top_k(score, max_keypoints)
     uv = uv[sel]
     scale = scale[sel]
+
+    ang1, ang2, ratio2 = jax.vmap(
+        lambda p, s: _orientation(img, p, s))(uv, scale)
+    # dual orientation (SIFT): keypoints with a rival histogram peak
+    # >= 0.8*max also enter at the second angle; the final top-K keeps
+    # capacity static (secondary copies get an epsilon score penalty so
+    # they never evict their primaries)
+    score2 = jnp.where(ratio2 >= 0.8, score_top * (1.0 - 1e-6), -jnp.inf)
+    uv = jnp.concatenate([uv, uv])
+    scale = jnp.concatenate([scale, scale])
+    ang = jnp.concatenate([ang1, ang2])
+    score_all = jnp.concatenate([score_top, score2])
+    score_top, sel = jax.lax.top_k(score_all, max_keypoints)
+    uv = uv[sel]
+    scale = scale[sel]
+    ang = ang[sel]
     valid = jnp.isfinite(score_top) & (score_top > min_score)
 
-    ang = jax.vmap(lambda p, s: _orientation(img, p, s))(uv, scale)
     desc = jax.vmap(lambda p, s, a: _descriptor(img, p, s, a))(
         uv, scale, ang)
     desc = jnp.where(valid[:, None], desc, 0.0)

@@ -100,9 +100,17 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_cols), 3)
     onehot = (rel_x[:, :, :, None] == cols).astype(src.dtype)
+    # per-operand precision: the one-hot side is exactly representable in
+    # bf16 (entries are 0.0/1.0) so a single pass suffices there, but the
+    # window VALUES need the full f32 mantissa — the TPU MXU's default
+    # single-bf16-pass matmul rounds them (measured 1.5e-2 abs err on
+    # unit-normal data on v5e), which would make the "gather" lossy.
+    # (DEFAULT, HIGHEST) splits only the rhs: exact selection at 3 passes
+    # instead of HIGHEST-both's 9.
     tmp = jax.lax.dot_general(
         onehot, jnp.swapaxes(win, 2, 3),
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
         preferred_element_type=jnp.float32)                 # [nb,nt,P,WY]
 
     # row select: masked sum over the WY axis (VPU)

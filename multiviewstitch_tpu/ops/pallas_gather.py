@@ -9,8 +9,14 @@ the window rows + indices + outputs:
   grid = (n_bands,); per band:
     - scalar-prefetched window base row (computed by a cheap XLA min pass)
     - async-copy the [WY, W] source window HBM -> VMEM
-    - for each band row: one-hot(ix_row) [W, W] in VMEM (iota compare),
-      tmp = one-hot @ window^T on the MXU, row-select by masked sum.
+    - BATCHED selection over chunks of band rows (no per-row serial loop):
+        (1) row select: one-hot(rel = iy - base) [CR*W, WY] @ window
+            [WY, W] on the MXU -> per-entry source ROWS [CR*W, W]
+        (2) column pick: masked reduce over W on the VPU
+            (iota == ix compare, where + sum).
+      WY defaults to 128 so the matmul contraction fills the MXU exactly;
+      the chunk size CR is chosen so the [CR*W, W] intermediate plus the
+      column mask stay well inside the ~16 MB VMEM budget.
 
 Numerics identical to gather2d.gather_image_banded (f32 selection is
 exact). Use `pallas_gather_available()` to check the backend; the caller
@@ -27,8 +33,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# VMEM budget for the per-chunk intermediates ([CR*W, W] rows matrix, the
+# same-shaped column mask, and the [CR*W, WY] one-hot). ~16 MB/core total;
+# leave room for the window, the index blocks, and double buffering.
+_CHUNK_VMEM_BUDGET = 8 << 20
 
-def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem):
+
+def _chunk_rows(band_rows: int, w: int, wy: int) -> int:
+    """Largest divisor of band_rows whose intermediates fit the budget."""
+    for cr in (16, 8, 4, 2):
+        if band_rows % cr == 0 and \
+                cr * w * (2 * w + wy) * 4 <= _CHUNK_VMEM_BUDGET:
+            return cr
+    return 1
+
+
+def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem,
+            *, chunk_rows):
     b = pl.program_id(0)
     base = pl.multiple_of(base_ref[b], 8)
     wy, w = win.shape
@@ -38,34 +59,46 @@ def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem):
     dma.start()
     dma.wait()
 
-    ok = (iy_ref[:] >= base) & (iy_ref[:] < base + wy)
-    ok_ref[:] = ok
+    iy = iy_ref[:]
+    ix = ix_ref[:]
+    ok_ref[:] = (iy >= base) & (iy < base + wy)
+    rel = jnp.clip(iy - base, 0, wy - 1)                      # [BH, W]
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (w, wy), 1)
-
-    def row_body(r, _):
-        # read refs with dynamic slices (values can't be dynamically
-        # indexed inside Pallas TPU kernels)
-        ix_row = ix_ref[pl.ds(r, 1), :]                          # [1,W]
-        iy_row = iy_ref[pl.ds(r, 1), :]
-        rel_row = jnp.clip(iy_row - base, 0, wy - 1)             # [1,W]
-        onehot = (ix_row.reshape(w, 1) == cols).astype(jnp.float32)  # [W,W]
-        tmp = jnp.dot(onehot, win[:].T,
-                      preferred_element_type=jnp.float32)        # [W,WY]
-        sel = rel_row.reshape(w, 1) == rows_iota                 # [W,WY]
-        out_ref[pl.ds(r, 1), :] = jnp.sum(
-            jnp.where(sel, tmp, 0.0), axis=1).reshape(1, w)
-        return 0
-
-    jax.lax.fori_loop(0, bh, row_body, 0)
+    cr = chunk_rows
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (cr, w, wy), 2)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (cr, w, w), 2)
+    # static unroll: bh // cr is tiny (1-4) and each body is one big matmul
+    for c0 in range(0, bh, cr):
+        rel_c = jnp.expand_dims(
+            jax.lax.slice_in_dim(rel, c0, c0 + cr, axis=0), 2)  # [cr,W,1]
+        onehot = (rel_c == k_iota).astype(jnp.float32)
+        # Precision.HIGHEST: the MXU's default single-bf16-pass matmul
+        # rounds the window VALUES (measured 1.5e-2 abs err on v5e), which
+        # would make the "gather" lossy. Mosaic doesn't support per-operand
+        # precision (the one-hot side alone would be exact in one pass), so
+        # the whole dot runs at full f32 precision.
+        rows = jax.lax.dot_general(
+            onehot.reshape(cr * w, wy), win[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(cr, w, w)
+        ix_c = jnp.expand_dims(
+            jax.lax.slice_in_dim(ix, c0, c0 + cr, axis=0), 2)
+        sel = ix_c == c_iota
+        out_ref[c0:c0 + cr, :] = jnp.sum(jnp.where(sel, rows, 0.0), axis=2)
 
 
 @partial(jax.jit, static_argnames=("band_rows", "window_rows", "interpret"))
 def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
-                         *, band_rows: int = 8, window_rows: int = 64,
+                         *, band_rows: int = 8, window_rows: int = 120,
                          interpret: bool = False):
-    """src [H,W] f32; iy/ix [H,W] i32 -> (values [H,W], ok [H,W])."""
+    """src [H,W] f32; iy/ix [H,W] i32 -> (values [H,W], ok [H,W]).
+
+    window_rows defaults to 120: +8 alignment headroom makes the DMA'd
+    window 128 rows, so the selection matmul's contraction dim fills the
+    128-wide MXU exactly (a 64-row window pads K to 128 and wastes half
+    the array for a smaller hit window).
+    """
     H, W = src.shape
     Ho = iy.shape[0]
     # +8 headroom compensates the sublane alignment of the window base
@@ -84,6 +117,9 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     base = jnp.clip(ctr - window_rows // 2, 0, max(H - window_rows, 0))
     # Mosaic requires the dynamic DMA row offset to be sublane-aligned
     base = jnp.clip((base // 8) * 8, 0, max(((H - window_rows) // 8) * 8, 0))
+
+    kernel = partial(_kernel,
+                     chunk_rows=_chunk_rows(band_rows, W, window_rows))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -108,7 +144,7 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     )
 
     vals, ok = pl.pallas_call(
-        _kernel,
+        kernel,
         out_shape=(jax.ShapeDtypeStruct((nb * band_rows, W), jnp.float32),
                    jax.ShapeDtypeStruct((nb * band_rows, W), jnp.bool_)),
         grid_spec=grid_spec,
