@@ -95,9 +95,18 @@ def _gn_step(params, data: PoseGraphData, lam, *, num_seqs: int):
 
 
 def refine_pose_graph(init: List[Similarity], data: PoseGraphData, *,
-                      iters: int = 20, lam0: float = 1e-4
+                      iters: int = 20, lam0: float = 1e-4,
+                      stagnation_rtol: float = 1e-6
                       ) -> Tuple[List[Similarity], float]:
-    """Damped-GN refinement from the greedy-chain initialization."""
+    """Damped-GN refinement from the greedy-chain initialization.
+
+    Termination is convergence-aware: a candidate step is accepted only if
+    it lowers the total cost, and the loop stops as soon as an accepted
+    step improves the cost by less than ``stagnation_rtol`` relative — so
+    an init that already sits at (or within noise of) the optimum of the
+    match-residual objective is left essentially untouched rather than
+    being walked around its noise basin for all ``iters`` iterations.
+    """
     S = len(init)
     params = np.zeros((S, 7), np.float32)
     for k, T in enumerate(init):
@@ -120,8 +129,11 @@ def refine_pose_graph(init: List[Similarity], data: PoseGraphData, *,
                            num_seqs=S)
         cost = float(jnp.sum(_residuals(cand, data) ** 2))
         if cost < best_cost:
+            rel_gain = (best_cost - cost) / max(best_cost, 1e-30)
             p, best_cost = cand, cost
             lam = max(lam * 0.5, 1e-8)
+            if rel_gain < stagnation_rtol:
+                break
         else:
             lam = min(lam * 4.0, 1e4)
         if lam >= 1e4:

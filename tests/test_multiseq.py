@@ -82,7 +82,12 @@ def test_three_sequence_refined_at_least_as_good(three_seq):
             errs.append(_angle_between(T.R, gt.R))
         return np.mean(errs)
 
-    assert total_err(refined) <= total_err(chain) * 1.5
+    # non-degenerate bound: on a noise-free fixture the greedy chain can be
+    # EXACT (total_err == 0), and the pose-graph optimum of the match
+    # residual differs from ground truth by the fixture's discretization
+    # noise — so allow that absolute floor (0.1 deg) on top of the
+    # relative bound.
+    assert total_err(refined) <= total_err(chain) * 1.5 + 0.1
 
 
 def test_three_sequence_all_pairs_refine(three_seq):
