@@ -63,6 +63,43 @@ def _round_px(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
+def _offset_check(pts, cam_pix: CameraBatch, uv, ndisp, ncams: CameraBatch,
+                  *, min_dsp, max_dsp, reproj_err):
+    """Round-trip consistency test of every pixel against ONE neighbor
+    assignment (Processor.cpp:82-108): project current-frame world points
+    [N,H,W,3] into the neighbor cameras, nearest-sample the neighbor
+    disparity, unproject, reproject back, threshold the pixel error.
+    Shared by the fused sequence op below and the window-sharded variant
+    (parallel/view_windows.py). Returns ok [N,H,W]."""
+    h, w = ndisp.shape[-2:]
+    ncams_pix = CameraBatch(ncams.K[:, None, None], ncams.R[:, None, None],
+                            ncams.t[:, None, None], ncams.width,
+                            ncams.height)
+
+    # project current-frame points into the neighbor camera
+    uvn, zn = project(ncams_pix, pts)
+    un, vn = _round_px(uvn[..., 0]), _round_px(uvn[..., 1])
+    inb1 = (un >= 0) & (un <= w - 1) & (vn >= 0) & (vn <= h - 1) & (zn > 0)
+
+    # nearest-sample the neighbor disparity (clipped gather; masked later)
+    uc = jnp.clip(un, 0, w - 1)
+    vc = jnp.clip(vn, 0, h - 1)
+    dn, gok = jax.vmap(_gather_px)(ndisp, vc, uc)
+    ref_valid = (dn >= min_dsp) & (dn <= max_dsp) & gok
+
+    # round trip: unproject the neighbor pixel, project into current cam
+    uvn_f = jnp.stack([uc, vc], -1).astype(ndisp.dtype)
+    ptsn = unproject(ncams_pix, uvn_f, 1.0 / jnp.where(ref_valid, dn, 1.0))
+    uvb, zb = project(cam_pix, ptsn)
+    ub, vb = _round_px(uvb[..., 0]), _round_px(uvb[..., 1])
+    inb2 = (ub >= 0) & (ub <= w - 1) & (vb >= 0) & (vb <= h - 1)
+
+    du = (uv[None, ..., 0].astype(jnp.int32) - ub).astype(ndisp.dtype)
+    dv = (uv[None, ..., 1].astype(jnp.int32) - vb).astype(ndisp.dtype)
+    err_ok = du * du + dv * dv <= reproj_err * reproj_err
+    return inb1 & ref_valid & inb2 & err_ok
+
+
 @partial(jax.jit, static_argnames=("offsets", "min_dsp", "max_dsp",
                                    "reproj_err"))
 def check_consistency(
@@ -94,35 +131,11 @@ def check_consistency(
         nbr = jnp.clip(jnp.arange(n) + off, 0, n - 1)
         exists = ((jnp.arange(n) + off >= 0) &
                   (jnp.arange(n) + off < n))[:, None, None]
-        ncams = CameraBatch(cams.K[nbr][:, None, None],
-                            cams.R[nbr][:, None, None],
-                            cams.t[nbr][:, None, None],
+        ncams = CameraBatch(cams.K[nbr], cams.R[nbr], cams.t[nbr],
                             cams.width, cams.height)
-        ndisp = disparity[nbr]                                   # [N,H,W]
-
-        # project current-frame points into the neighbor camera
-        uvn, zn = project(ncams, pts)
-        un, vn = _round_px(uvn[..., 0]), _round_px(uvn[..., 1])
-        inb1 = (un >= 0) & (un <= w - 1) & (vn >= 0) & (vn <= h - 1) & (zn > 0)
-
-        # nearest-sample the neighbor disparity (clipped gather; masked later)
-        uc = jnp.clip(un, 0, w - 1)
-        vc = jnp.clip(vn, 0, h - 1)
-        dn, gok = jax.vmap(_gather_px)(ndisp, vc, uc)
-        ref_valid = (dn >= min_dsp) & (dn <= max_dsp) & gok
-
-        # round trip: unproject the neighbor pixel, project into current cam
-        uvn_f = jnp.stack([uc, vc], -1).astype(disparity.dtype)
-        ptsn = unproject(ncams, uvn_f, 1.0 / jnp.where(ref_valid, dn, 1.0))
-        uvb, zb = project(cam_pix, ptsn)
-        ub, vb = _round_px(uvb[..., 0]), _round_px(uvb[..., 1])
-        inb2 = (ub >= 0) & (ub <= w - 1) & (vb >= 0) & (vb <= h - 1)
-
-        du = (uv[None, ..., 0].astype(jnp.int32) - ub).astype(disparity.dtype)
-        dv = (uv[None, ..., 1].astype(jnp.int32) - vb).astype(disparity.dtype)
-        err_ok = du * du + dv * dv <= reproj_err * reproj_err
-
-        ok = inb1 & ref_valid & inb2 & err_ok
+        ok = _offset_check(pts, cam_pix, uv, disparity[nbr], ncams,
+                           min_dsp=min_dsp, max_dsp=max_dsp,
+                           reproj_err=reproj_err)
         keep = keep & jnp.where(exists, ok, True)
 
     return jnp.where(keep, disparity, 0.0)

@@ -88,7 +88,9 @@ def gap_filter(uv1, uv2, mask, *, min_gap_sq: jnp.ndarray | float):
         conflict = jnp.any(kept & ((d1 <= min_gap_sq) | (d2 <= min_gap_sq)))
         return kept.at[k].set(mask[k] & ~conflict)
 
-    kept = jnp.zeros((m,), bool)
+    # derive the initial carry from `mask` (not a fresh constant) so its
+    # varying-axes type matches the body output under shard_map
+    kept = mask & False
     return jax.lax.fori_loop(0, m, body, kept)
 
 

@@ -114,11 +114,71 @@ def _lift_to_3d(pts_map, valid_map, uv):
 
 def match_sequence_pair(
     seq1: Sequence, seq2: Sequence, cfg: StitchConfig, key,
+    prep1=None, prep2=None, mesh=None,
 ) -> Tuple[Similarity, PairCandidate, List[PairCandidate]]:
-    """Find the best keyframe pair between two sequences and solve its SRT.
+    """Find the best keyframe pair between two sequences and solve its SRT
+    (the per-pair body of CalcSimilarityTransformationSeq,
+    Processor.cpp:629-833).
 
-    Mirrors the per-pair body of CalcSimilarityTransformationSeq
-    (Processor.cpp:629-833)."""
+    Production path: ALL n1*n2 frame-pair edges are swept by ONE batched
+    device program (pipeline/match_edges.py) with zero per-pair host syncs;
+    keyframe selection pulls a single [E] residual/count vector. Optional
+    ``prep1/prep2`` (SequencePrep) let callers hoist per-sequence feature
+    extraction out of the pair loop. With ``mesh``, the edge sweep is
+    sharded over the mesh's 'views' axis (parallel/match_dist.py).
+    """
+    from .match_edges import (prep_sequence, match_edges, edge_knobs,
+                              select_keyframe)
+    n2 = seq2.gray.shape[0]
+    if prep1 is None:
+        prep1 = prep_sequence(seq1, cfg)
+    if prep2 is None:
+        prep2 = prep_sequence(seq2, cfg)
+
+    if mesh is not None:
+        from ..parallel.match_dist import match_edges_sharded
+        eb = match_edges_sharded(prep1, prep2, key, mesh=mesh,
+                                 **edge_knobs(cfg))
+    else:
+        eb = match_edges(prep1, prep2, key, **edge_knobs(cfg))
+    best_e, nm, res = select_keyframe(eb, cfg.min_match_count)
+
+    # host-side candidate list (for the pose graph + debug artifacts):
+    # one bulk pull per array, sliced per eligible edge
+    uv1_h = np.asarray(eb.uv1)
+    uv2_h = np.asarray(eb.uv2)
+    p1_h = np.asarray(eb.p1)
+    p2_h = np.asarray(eb.p2)
+    mask_h = np.asarray(eb.mask)
+    candidates: List[PairCandidate] = []
+    best: Optional[PairCandidate] = None
+    for e in range(nm.shape[0]):
+        if nm[e] < 3:
+            continue
+        c = PairCandidate(e // n2, e % n2, uv1_h[e], uv2_h[e],
+                          p1_h[e], p2_h[e], mask_h[e],
+                          float(res[e]), int(nm[e]))
+        candidates.append(c)
+        if e == best_e:
+            best = c
+    assert best is not None  # select_keyframe guarantees nm[best_e] >= 3
+
+    # final solve on the winning edge's surviving matches
+    n_edges = nm.shape[0]
+    T, _ = estimate_srt_ransac(
+        eb.p1[best_e], eb.p2[best_e], eb.mask[best_e],
+        seq1.cams[best.frame_i], seq2.cams[best.frame_j],
+        jax.random.fold_in(key, n_edges), iter_num=cfg.iter_num)
+    return T, best, candidates
+
+
+def match_sequence_pair_loop(
+    seq1: Sequence, seq2: Sequence, cfg: StitchConfig, key,
+) -> Tuple[Similarity, PairCandidate, List[PairCandidate]]:
+    """Reference implementation of the edge sweep as an explicit host loop
+    (one dispatch + one host sync per (frame_i, frame_j) pair) — kept as the
+    golden oracle for the batched path; uses the same fold_in(key, edge_id)
+    RANSAC keys so results are reproducible against match_sequence_pair."""
     n1 = seq1.gray.shape[0]
     n2 = seq2.gray.shape[0]
     h, w = seq1.gray.shape[1:]
@@ -181,7 +241,7 @@ def match_sequence_pair(
             if int(ok.sum()) < 3:
                 continue
 
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(key, i * n2 + j)
             mask, T, res = remove_outliers(
                 p1, p2, ok, seq1.cams[i], seq2.cams[j], sub,
                 pixel_err=cfg.pixel_err,
@@ -204,7 +264,7 @@ def match_sequence_pair(
     best = min(eligible, key=lambda c: c.residual)
 
     # final solve on the winning pair's surviving matches
-    key, sub = jax.random.split(key)
+    sub = jax.random.fold_in(key, n1 * n2)
     T, res = estimate_srt_ransac(
         jnp.asarray(best.p1), jnp.asarray(best.p2), jnp.asarray(best.mask),
         seq1.cams[best.frame_i], seq2.cams[best.frame_j], sub,
@@ -215,7 +275,7 @@ def match_sequence_pair(
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                     seed: int = 0, refine: bool = False,
                     all_pairs: bool = False,
-                    debug_dir: str = None) -> AlignResult:
+                    debug_dir: str = None, mesh=None) -> AlignResult:
     """Chain all sequences into the last sequence's frame
     (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833).
 
@@ -223,13 +283,19 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     pose-graph solve over ALL surviving matches of all pairs
     (solvers/pose_graph.py) — the view-graph refinement the reference
     lacks (SURVEY §7 step 6)."""
+    from .match_edges import prep_sequence
     key = jax.random.key(seed)
+    # per-sequence feature/unprojection prep is hoisted out of the pair
+    # loop — interior sequences are prepped once, not once per pair
+    preps = [prep_sequence(s, cfg) for s in seqs]
     edges: List[Similarity] = []
     keyframes, residuals = [], []
     all_candidates = []
     for k in range(len(seqs) - 1):
         key, sub = jax.random.split(key)
-        T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub)
+        T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub,
+                                             preps[k], preps[k + 1],
+                                             mesh=mesh)
         edges.append(T)
         keyframes.append((best.frame_i, best.frame_j))
         residuals.append(best.residual)
@@ -276,7 +342,8 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                     key, sub = jax.random.split(key)
                     try:
                         _, _, cands = match_sequence_pair(
-                            seqs[k], seqs[l], cfg, sub)
+                            seqs[k], seqs[l], cfg, sub, preps[k], preps[l],
+                            mesh=mesh)
                     except RuntimeError:
                         continue
                     for c in cands:
