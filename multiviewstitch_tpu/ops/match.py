@@ -26,16 +26,24 @@ class Matches(NamedTuple):
     valid: jnp.ndarray  # [M] bool
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("mutual",))
 def match_descriptors(
     d1: jnp.ndarray, v1: jnp.ndarray,     # [K1,128], [K1] bool
     d2: jnp.ndarray, v2: jnp.ndarray,     # [K2,128], [K2] bool
     *,
     distmax: float = 0.7,
     ratiomax: float = 0.8,
+    mutual: bool = False,
 ) -> Matches:
     """Match normalized descriptors; returns one candidate per set-1 keypoint
-    with a validity mask (fixed capacity K1)."""
+    with a validity mask (fixed capacity K1).
+
+    mutual=False matches SiftMatchGPU's acceptance rule exactly (distmax +
+    ratio only, FeatureProc.cpp:83-90). The optional mutual-best check
+    raises precision a few points but interacts badly with dual-orientation
+    duplicate keypoints (the back-pointer lands on the twin copy) and costs
+    measurable recall — the downstream dedup/SSD/gap/RANSAC cascade is the
+    reference's outlier defense, not the matcher."""
     # dot products on the MXU; invalid columns forced to -1 (max distance)
     dots = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
     dots = jnp.where(v1[:, None] & v2[None, :], dots, -1.0)
@@ -49,10 +57,11 @@ def match_descriptors(
     ok = (best > -1.0) & (dist_best <= distmax)
     ok &= dist_best <= ratiomax * dist_second
 
-    # mutual-best: set-2's best for the chosen column must be this row
-    back_best = jnp.argmax(dots, axis=0)             # [K2]
     rows = jnp.arange(d1.shape[0])
-    ok &= back_best[top2_idx[:, 0]] == rows
+    if mutual:
+        # mutual-best: set-2's best for the chosen column must be this row
+        back_best = jnp.argmax(dots, axis=0)         # [K2]
+        ok &= back_best[top2_idx[:, 0]] == rows
     ok &= v1
     return Matches(rows, top2_idx[:, 0], ok)
 

@@ -33,7 +33,7 @@ class GridMesh(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("min_dsp", "max_dsp", "smooth_thres",
-                                   "max_faces"))
+                                   "edge_sz_thres", "max_faces"))
 def grid_mesh(
     disparity: jnp.ndarray,      # [H,W]
     cam: CameraBatch,            # single camera
@@ -41,6 +41,7 @@ def grid_mesh(
     min_dsp: float,
     max_dsp: float,
     smooth_thres: float,
+    edge_sz_thres: float = 0.0,  # max 3D edge length; 0 disables
     max_faces: int = 0,          # 0 -> 2*(H-1)*(W-1)
 ) -> GridMesh:
     h, w = disparity.shape
@@ -86,6 +87,20 @@ def grid_mesh(
             (jnp.abs(d00 - d01) <= thr) &
             (jnp.abs(d11 - d01) <= thr) &
             (jnp.abs(d11 - d00) <= thr))
+
+    if edge_sz_thres and edge_sz_thres > 0:
+        # EdgeSzThres (config.txt / GeometryRec.cpp:30-39): reject triangles
+        # with any 3D edge longer than the threshold — the world-space
+        # counterpart of the disparity-delta smoothness test above
+        P = pts.reshape(h, w, 3)
+        p00, p10 = P[:-1, :-1], P[1:, :-1]
+        p01, p11 = P[:-1, 1:], P[1:, 1:]
+
+        def _short(a, b):
+            return jnp.sum((a - b) ** 2, axis=-1) <= edge_sz_thres ** 2
+
+        tri1 = tri1 & _short(p00, p10) & _short(p10, p11) & _short(p00, p11)
+        tri2 = tri2 & _short(p00, p11) & _short(p11, p01) & _short(p00, p01)
 
     id2 = ids.reshape(h, w)
     i00, i10, i01, i11 = id2[:-1, :-1], id2[1:, :-1], id2[:-1, 1:], id2[1:, 1:]

@@ -1,26 +1,33 @@
 """Pallas TPU kernel for the banded image gather.
 
-The XLA formulation in ops/gather2d.py materializes the one-hot selection
-matrices in HBM (the matmul operands must exist as buffers), costing
-~2*P*W*4 bytes of traffic per band. This kernel builds the one-hot tiles
-directly in VMEM and DMAs only the source windows, so HBM traffic drops to
-the window rows + indices + outputs:
+The XLA formulation in ops/gather2d.py must materialize the one-hot
+selection matrices in HBM (matmul operands are buffers) and, because a
+bit-exact f32 selection on the bf16 MXU needs a 3-way operand split, it
+streams that ~P*W-sized one-hot from HBM three times per gather. This
+kernel keeps the entire selection in VMEM, so HBM traffic drops to the
+window rows + index blocks + outputs:
 
   grid = (n_bands,); per band:
-    - scalar-prefetched window base row (computed by a cheap XLA min pass)
+    - scalar-prefetched window base row (computed by a cheap XLA mean pass,
+      8-aligned for the DMA)
     - async-copy the [WY, W] source window HBM -> VMEM
-    - BATCHED selection over chunks of band rows (no per-row serial loop):
-        (1) row select: one-hot(rel = iy - base) [CR*W, WY] @ window
-            [WY, W] on the MXU -> per-entry source ROWS [CR*W, W]
-        (2) column pick: masked reduce over W on the VPU
-            (iota == ix compare, where + sum).
-      WY defaults to 128 so the matmul contraction fills the MXU exactly;
-      the chunk size CR is chosen so the [CR*W, W] intermediate plus the
-      column mask stay well inside the ~16 MB VMEM budget.
+    - split the window ONCE into an exact triple-bf16 decomposition
+      (hi + mid + lo == f32 window bitwise: 8+8+8 mantissa bits)
+    - batched column selection over chunks of band rows:
+        one-hot(ix) [CR*W, W] (built in VMEM, bf16) contracted against each
+        bf16 window part on the MXU -> [CR*W, WY]; summing the three
+        single-pass products reproduces the f32 window values exactly
+        (every one-hot row has exactly one nonzero, so no accumulation
+        rounding anywhere)
+    - row select: WY-wide masked reduce on the VPU.
 
-Numerics identical to gather2d.gather_image_banded (f32 selection is
-exact). Use `pallas_gather_available()` to check the backend; the caller
-(ops/consistency._gather_px) falls back to the XLA path elsewhere.
+  The window defaults to 128 DMA'd rows so the [CR*W, WY] product tile
+  fills the MXU's 128 output lanes exactly; the chunk size CR keeps the
+  one-hot + product inside the ~16 MB VMEM budget.
+
+Numerics identical to gather2d.gather_image_banded (bit-exact selection).
+Use `pallas_gather_available()` to check the backend; callers fall back to
+the XLA path elsewhere.
 """
 
 from __future__ import annotations
@@ -33,19 +40,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the per-chunk intermediates ([CR*W, W] rows matrix, the
-# same-shaped column mask, and the [CR*W, WY] one-hot). ~16 MB/core total;
-# leave room for the window, the index blocks, and double buffering.
-_CHUNK_VMEM_BUDGET = 8 << 20
+# VMEM budget for the per-chunk intermediates (the [CR*W, W] bf16 one-hot,
+# the [CR*W, WY] f32 product, the row-select mask). ~16 MB/core total;
+# leave room for the window + its bf16 parts and the index blocks.
+_CHUNK_VMEM_BUDGET = 10 << 20
 
 
 def _chunk_rows(band_rows: int, w: int, wy: int) -> int:
     """Largest divisor of band_rows whose intermediates fit the budget."""
     for cr in (16, 8, 4, 2):
         if band_rows % cr == 0 and \
-                cr * w * (2 * w + wy) * 4 <= _CHUNK_VMEM_BUDGET:
+                cr * w * (2 * w + 6 * wy) <= _CHUNK_VMEM_BUDGET:
             return cr
     return 1
+
+
+def _split3(w32):
+    """Exact triple-bf16 decomposition: hi + mid + lo == w32 in f32."""
+    hi = w32.astype(jnp.bfloat16)
+    r1 = w32 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem,
@@ -64,28 +80,31 @@ def _kernel(base_ref, iy_ref, ix_ref, src_ref, out_ref, ok_ref, win, sem,
     ok_ref[:] = (iy >= base) & (iy < base + wy)
     rel = jnp.clip(iy - base, 0, wy - 1)                      # [BH, W]
 
+    hi, mid, lo = _split3(win[:])
+
     cr = chunk_rows
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (cr, w, wy), 2)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (cr, w, w), 2)
-    # static unroll: bh // cr is tiny (1-4) and each body is one big matmul
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (cr, w, wy), 2)
+    # static unroll: bh // cr is tiny (1-4) and each body is 3 big matmuls
     for c0 in range(0, bh, cr):
-        rel_c = jnp.expand_dims(
-            jax.lax.slice_in_dim(rel, c0, c0 + cr, axis=0), 2)  # [cr,W,1]
-        onehot = (rel_c == k_iota).astype(jnp.float32)
-        # Precision.HIGHEST: the MXU's default single-bf16-pass matmul
-        # rounds the window VALUES (measured 1.5e-2 abs err on v5e), which
-        # would make the "gather" lossy. Mosaic doesn't support per-operand
-        # precision (the one-hot side alone would be exact in one pass), so
-        # the whole dot runs at full f32 precision.
-        rows = jax.lax.dot_general(
-            onehot.reshape(cr * w, wy), win[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).reshape(cr, w, w)
         ix_c = jnp.expand_dims(
-            jax.lax.slice_in_dim(ix, c0, c0 + cr, axis=0), 2)
-        sel = ix_c == c_iota
-        out_ref[c0:c0 + cr, :] = jnp.sum(jnp.where(sel, rows, 0.0), axis=2)
+            jax.lax.slice_in_dim(ix, c0, c0 + cr, axis=0), 2)  # [cr,W,1]
+        onehot = (ix_c == c_iota).astype(jnp.bfloat16).reshape(cr * w, w)
+
+        def sel(part):
+            # contract the one-hot's column axis with the window's column
+            # axis: [cr*W, W] x [WY, W] -> [cr*W, WY]. One nonzero per row
+            # => each single-pass bf16 product is the bf16 part verbatim.
+            return jax.lax.dot_general(
+                onehot, part,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        tmp = ((sel(hi) + sel(mid)) + sel(lo)).reshape(cr, w, wy)
+        rel_c = jnp.expand_dims(
+            jax.lax.slice_in_dim(rel, c0, c0 + cr, axis=0), 2)
+        rowsel = rel_c == k_iota
+        out_ref[c0:c0 + cr, :] = jnp.sum(jnp.where(rowsel, tmp, 0.0), axis=2)
 
 
 @partial(jax.jit, static_argnames=("band_rows", "window_rows", "interpret"))
@@ -95,9 +114,9 @@ def pallas_gather_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     """src [H,W] f32; iy/ix [H,W] i32 -> (values [H,W], ok [H,W]).
 
     window_rows defaults to 120: +8 alignment headroom makes the DMA'd
-    window 128 rows, so the selection matmul's contraction dim fills the
-    128-wide MXU exactly (a 64-row window pads K to 128 and wastes half
-    the array for a smaller hit window).
+    window 128 rows, so the selection product's output lane dim fills the
+    MXU exactly (any smaller window pads to 128 lanes anyway — a 128-row
+    window is the free maximum hit window).
     """
     H, W = src.shape
     Ho = iy.shape[0]

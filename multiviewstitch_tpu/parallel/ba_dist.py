@@ -51,14 +51,15 @@ def group_by_point(K, cam_idx, pt_idx, uv, n_points, n_cams,
     cam_of = np.zeros((n_points, max_obs_per_point), np.int32)
     uvp = np.zeros((n_points, max_obs_per_point, 2), np.float32)
     mask = np.zeros((n_points, max_obs_per_point), bool)
-    counts = np.zeros(n_points, np.int32)
-    for o in range(len(cam_idx)):
-        p = pt_idx[o]
-        if counts[p] < max_obs_per_point:
-            cam_of[p, counts[p]] = cam_idx[o]
-            uvp[p, counts[p]] = uv[o]
-            mask[p, counts[p]] = True
-            counts[p] += 1
+    # vectorized group-by-point (same capacity semantics as the old
+    # per-observation loop: first max_obs per point, observation order)
+    from ..solvers.ba import _group_ranks
+    slot, keep = _group_ranks(pt_idx, max_obs_per_point)
+    obs_ids = np.argsort(pt_idx, kind="stable")
+    sel = obs_ids[keep]
+    cam_of[pt_idx[sel], slot[keep]] = cam_idx[sel]
+    uvp[pt_idx[sel], slot[keep]] = uv[sel]
+    mask[pt_idx[sel], slot[keep]] = True
     fc = np.zeros(n_cams, bool)
     fc[list(fixed_cams)] = True
     return BAPointBlocks(jnp.asarray(K, jnp.float32), jnp.asarray(cam_of),

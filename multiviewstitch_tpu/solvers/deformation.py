@@ -164,22 +164,34 @@ def mesh_edges(faces: np.ndarray) -> np.ndarray:
 def cotangent_weights(verts: np.ndarray, faces: np.ndarray,
                       edges: np.ndarray) -> np.ndarray:
     """Cotangent edge weights (CGAL Surface_mesh_deformation's default ARAP
-    weighting), clamped to >= 1e-3 for robustness."""
-    v = verts
-    w = {}
-    for tri in faces:
-        for k in range(3):
-            i, j, o = tri[k], tri[(k + 1) % 3], tri[(k + 2) % 3]
-            a = v[i] - v[o]
-            b = v[j] - v[o]
-            cos = float(a @ b)
-            sin = float(np.linalg.norm(np.cross(a, b)))
-            cot = cos / max(sin, 1e-9)
-            key = (min(i, j), max(i, j))
-            w[key] = w.get(key, 0.0) + 0.5 * cot
-    out = np.asarray([max(w.get((int(a), int(b)), 0.0), 1e-3)
-                      for a, b in edges], np.float32)
-    return out
+    weighting), clamped to >= 1e-3 for robustness. Fully vectorized: the
+    per-face Python loop was O(F) host time (minutes at 100k faces)."""
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(faces)
+    # the three (i, j, opposite) rotations of every face, flattened
+    i = f[:, [0, 1, 2]].ravel()
+    j = f[:, [1, 2, 0]].ravel()
+    o = f[:, [2, 0, 1]].ravel()
+    a = v[i] - v[o]
+    b = v[j] - v[o]
+    cos = np.einsum("ni,ni->n", a, b)
+    sin = np.linalg.norm(np.cross(a, b), axis=1)
+    cot = 0.5 * cos / np.maximum(sin, 1e-9)
+    # accumulate onto undirected edges via a sorted-pair key
+    V = int(max(i.max(initial=0), j.max(initial=0))) + 1
+    lo = np.minimum(i, j).astype(np.int64)
+    hi = np.maximum(i, j).astype(np.int64)
+    key = lo * V + hi
+    ekey = (np.minimum(edges[:, 0], edges[:, 1]).astype(np.int64) * V +
+            np.maximum(edges[:, 0], edges[:, 1]))
+    order = np.argsort(ekey)
+    pos = np.searchsorted(ekey[order], key)
+    acc = np.zeros(len(edges) + 1, np.float64)
+    hit = (pos < len(edges)) & (ekey[order][np.minimum(
+        pos, len(edges) - 1)] == key)
+    np.add.at(acc, np.where(hit, order[np.minimum(pos, len(edges) - 1)],
+                            len(edges)), np.where(hit, cot, 0.0))
+    return np.maximum(acc[:len(edges)], 1e-3).astype(np.float32)
 
 
 class ARAPProblem(NamedTuple):

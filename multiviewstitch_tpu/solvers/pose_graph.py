@@ -65,7 +65,14 @@ def _params_to_sim(params):
     return s, R, t
 
 
-def _residuals(params, data: PoseGraphData):
+def _residuals(params, data: PoseGraphData, delta=None):
+    """Stacked (optionally Huber-weighted) match residuals.
+
+    With ``delta``, each match's 3D residual is scaled by the sqrt-Huber
+    IRLS weight min(1, delta/|r|)^0.5 (weights stop-gradiented, standard
+    IRLS): surviving outlier matches — the RANSAC cascade keeps a few —
+    otherwise drag the global optimum away from an exact init by far more
+    than the inlier noise floor."""
     s, R, t = _params_to_sim(params)
     sk, sl = data.seq_k, data.seq_l
     Tp = (s[sk][:, None, None] *
@@ -73,15 +80,19 @@ def _residuals(params, data: PoseGraphData):
     Tq = (s[sl][:, None, None] *
           jnp.einsum("eij,emj->emi", R[sl], data.q) + t[sl][:, None, :])
     r = (Tp - Tq) * data.mask[..., None]
+    if delta is not None:
+        n = jnp.linalg.norm(r, axis=-1)
+        w = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(n, 1e-12)))
+        r = r * jax.lax.stop_gradient(w)[..., None]
     return r.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("num_seqs",))
-def _gn_step(params, data: PoseGraphData, lam, *, num_seqs: int):
+def _gn_step(params, data: PoseGraphData, lam, delta, *, num_seqs: int):
     flat = params.reshape(-1)
 
     def res_flat(x):
-        return _residuals(x.reshape(num_seqs, 7), data)
+        return _residuals(x.reshape(num_seqs, 7), data, delta)
 
     r = res_flat(flat)
     J = jax.jacfwd(res_flat)(flat)                 # [R, 7S]
@@ -123,11 +134,22 @@ def refine_pose_graph(init: List[Similarity], data: PoseGraphData, *,
 
     p = jnp.asarray(params)
     lam = lam0
-    best_cost = float(jnp.sum(_residuals(p, data) ** 2))
+
+    # Huber scale from the INIT residual distribution: 3x the masked-median
+    # match error (floored at a tiny abs value so an exactly-zero init
+    # doesn't zero every weight). Fixed across iterations so accepted-step
+    # costs are comparable.
+    r0 = _residuals(p, data).reshape(-1, 3)
+    n0 = jnp.linalg.norm(r0, axis=-1)
+    m = data.mask.reshape(-1)
+    med = jnp.nanquantile(jnp.where(m, n0, jnp.nan), 0.5)
+    delta = jnp.maximum(3.0 * jnp.nan_to_num(med, nan=0.0), 1e-6)
+
+    best_cost = float(jnp.sum(_residuals(p, data, delta) ** 2))
     for _ in range(iters):
-        cand, _ = _gn_step(p, data, jnp.asarray(lam, jnp.float32),
+        cand, _ = _gn_step(p, data, jnp.asarray(lam, jnp.float32), delta,
                            num_seqs=S)
-        cost = float(jnp.sum(_residuals(cand, data) ** 2))
+        cost = float(jnp.sum(_residuals(cand, data, delta) ** 2))
         if cost < best_cost:
             rel_gain = (best_cost - cost) / max(best_cost, 1e-30)
             p, best_cost = cand, cost
@@ -142,5 +164,6 @@ def refine_pose_graph(init: List[Similarity], data: PoseGraphData, *,
     s, R, t = _params_to_sim(p)
     out = [Similarity(s[k], R[k], t[k]) for k in range(S)]
     n = jnp.maximum(data.mask.sum(), 1)
-    rmse = float(jnp.sqrt(best_cost / n))
+    # report the UNWEIGHTED rmse (the metric callers compare across runs)
+    rmse = float(jnp.sqrt(jnp.sum(_residuals(p, data) ** 2) / n))
     return out, rmse

@@ -93,3 +93,26 @@ def test_batched_matches_loop():
         np.testing.assert_allclose(np.asarray(out[n]),
                                    ref_gather(src[n], iy[n], ix[n]),
                                    atol=1e-6)
+
+
+def test_precision_modes_error_bounds():
+    """split2 (hi/lo bf16 decomposition) must be f32-faithful to <= ~2^-17
+    (~1e-5) relative; fast (single bf16 quantization) to ~4e-3. Both bounds hold on
+    any backend (the decomposition happens in the op, not the MXU)."""
+    from multiviewstitch_tpu.ops.gather2d import gather_image_banded
+    H, W = 64, 96
+    rng = np.random.default_rng(3)
+    src = (rng.normal(size=(H, W)) * 7.3 + 0.1).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    iy = np.clip(yy + rng.integers(-4, 5, size=(H, W)), 0, H - 1)
+    ix = np.clip(xx + rng.integers(-4, 5, size=(H, W)), 0, W - 1)
+    ref = src[iy, ix]
+
+    for mode, bound in (("exact", 0.0), ("split2", 1e-5), ("fast", 8e-3)):
+        vals, ok = gather_image_banded(
+            jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
+            jnp.asarray(ix.astype(np.int32)), mode=mode)
+        ok = np.asarray(ok)
+        assert ok.mean() > 0.99
+        rel = np.abs(np.asarray(vals)[ok] - ref[ok]) / np.abs(ref[ok])
+        assert rel.max() <= bound, (mode, rel.max())

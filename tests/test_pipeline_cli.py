@@ -80,3 +80,44 @@ def test_cli_demo_align(tmp_path):
     assert len(Ts) == 2
     assert abs(float(Ts[0].s) - 1.25) < 0.1
     assert float(Ts[1].s) == 1.0
+
+
+def test_cli_knobs_change_output(tmp_path):
+    """The four previously-dead reference knobs are observable end to end:
+    --backend poisson (PsnDpt* reconstruction path), --write-mesh
+    (per-frame Depth2Model dumps), --set all_seq_proj=true (AllSeqProj
+    trim), and PsnDptMax driving the default grid."""
+    from multiviewstitch_tpu.cli import main
+    from multiviewstitch_tpu.io.meshio import read_obj
+
+    base = tmp_path / "base"
+    rc = main(["align", "--demo", "--workdir", str(base), "--grid", "64"])
+    assert rc == 0
+    v_base, _, _ = read_obj(str(base / "Result" / "Model.obj"))
+
+    # poisson backend produces a different (but valid) reconstruction
+    pois = tmp_path / "pois"
+    rc = main(["align", "--demo", "--workdir", str(pois),
+               "--backend", "poisson", "--set", "psn_dpt_max=6"])
+    assert rc == 0
+    v_p, _, f_p = read_obj(str(pois / "Result" / "Model.obj"))
+    assert len(v_p) > 100 and len(f_p) > 100
+    assert len(v_p) != len(v_base)
+
+    # WriteMesh dumps one OBJ per (sequence, frame)
+    wm = tmp_path / "wm"
+    rc = main(["align", "--demo", "--workdir", str(wm), "--grid", "64",
+               "--write-mesh"])
+    assert rc == 0
+    dumps = sorted((wm / "Models").glob("model*_*.obj"))
+    assert len(dumps) == 10  # 2 sequences x 5 demo frames
+    mv, _, mf = read_obj(str(dumps[0]))
+    assert len(mv) > 0 and len(mf) > 0
+
+    # AllSeqProj trims vertices that fall outside any sequence's cameras
+    asp = tmp_path / "asp"
+    rc = main(["align", "--demo", "--workdir", str(asp), "--grid", "64",
+               "--set", "all_seq_proj=true"])
+    assert rc == 0
+    v_t, _, _ = read_obj(str(asp / "Result" / "Model.obj"))
+    assert len(v_t) <= len(v_base)

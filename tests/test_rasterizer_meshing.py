@@ -147,3 +147,25 @@ def test_facet_normals_orientation():
     verts = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
     n = np.asarray(facet_normals(verts, jnp.asarray([[0, 1, 2]])))
     np.testing.assert_allclose(n[0], [0, 0, 1], atol=1e-6)
+
+
+def test_grid_mesh_edge_sz_thres_cuts_long_edges():
+    """EdgeSzThres (GeometryRec.cpp:30-39 analogue): triangles whose 3D
+    edges exceed the threshold are not emitted, even when the disparity
+    deltas pass the smoothness test."""
+    h, w = 8, 8
+    # smooth disparity GRADIENT: passes smooth_thres but the world-space
+    # depth difference between adjacent columns grows toward the right
+    disp = np.tile(np.linspace(0.5, 0.05, w, dtype=np.float32), (h, 1))
+    cam = frontal_cam(w, h)
+    kw = dict(min_dsp=0.01, max_dsp=1.0, smooth_thres=1e9)
+    m_all = grid_mesh(jnp.asarray(disp), cam, **kw)
+    m_cut = grid_mesh(jnp.asarray(disp), cam, edge_sz_thres=1.0, **kw)
+    _, f_all, _ = compact_mesh(m_all)
+    v, f_cut, _ = compact_mesh(m_cut)
+    assert f_all.shape[0] == 2 * (h - 1) * (w - 1)
+    assert 0 < f_cut.shape[0] < f_all.shape[0]
+    # every surviving face really has all edges <= 1.0
+    e = v[f_cut]
+    for a, b in ((0, 1), (1, 2), (0, 2)):
+        assert (np.linalg.norm(e[:, a] - e[:, b], axis=1) <= 1.0 + 1e-5).all()
