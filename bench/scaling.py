@@ -125,8 +125,69 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), float(flops)
 
+    def time_edges(nd):
+        """Edge-sharded all-pairs matching sweep (parallel/match_dist.py):
+        16 frames x 2 frames = 32 view-graph edges over the mesh."""
+        from functools import partial as _part
+        from multiviewstitch_tpu.pipeline.match_edges import SequencePrep
+        from multiviewstitch_tpu.parallel.match_dist import \
+            match_edges_sharded
+
+        mesh = make_mesh(nd, ("views",))
+        kk, hh, ww = 128, 64, 96
+
+        def prep(nf, seed):
+            r = np.random.default_rng(seed)
+            d = r.normal(size=(nf, 1, kk, 128)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            uv = np.stack([r.uniform(0, ww - 1, (nf, 1, kk)),
+                           r.uniform(0, hh - 1, (nf, 1, kk))],
+                          -1).astype(np.float32)
+            tex = np.broadcast_to(
+                np.arange(hh * ww, dtype=np.int32).reshape(1, 1, hh, ww),
+                (nf, 1, hh, ww)).copy()
+            gray = r.uniform(0, 255, (nf, hh, ww)).astype(np.float32)
+            pts = r.normal(size=(nf, hh, ww, 3)).astype(np.float32)
+            Kc = np.zeros((nf, 3, 3), np.float32)
+            Kc[:, 0, 0] = Kc[:, 1, 1] = 80.0
+            Kc[:, 0, 2] = (ww - 1) / 2
+            Kc[:, 1, 2] = (hh - 1) / 2
+            Kc[:, 2, 2] = 1
+            cams = CameraBatch(
+                jnp.asarray(Kc),
+                jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32),
+                                            (nf, 3, 3)).copy()),
+                jnp.asarray(np.zeros((nf, 3), np.float32)), ww, hh)
+            return SequencePrep(jnp.asarray(d),
+                                jnp.ones((nf, 1, kk), bool),
+                                jnp.asarray(uv), jnp.asarray(tex),
+                                jnp.asarray(gray), jnp.asarray(pts),
+                                jnp.ones((nf, hh, ww), bool), cams)
+
+        p1, p2 = prep(16, 0), prep(2, 1)
+        key = jax.random.key(0)
+        # edge_chunk >= local edge count: one vmapped call per device, so
+        # cost_analysis sees the real per-device program (a lax.map scan
+        # body would be counted once regardless of trip count)
+        kn = dict(view_count=1, distmax=1.2, ratiomax=0.95, ssd_win=2,
+                  ssd_err=1e9, min_gap_sq=1.0, pixel_err=12.0,
+                  adapt_ratio=0.6, iter_num=64, rounds=2, edge_chunk=32)
+        f = jax.jit(_part(match_edges_sharded.__wrapped__, mesh=mesh, **kn))
+        lowered = f.lower(p1, p2, key).compile()
+        flops = lowered.cost_analysis().get("flops", 0.0)
+        o = f(p1, p2, key)
+        jax.block_until_ready(o.residual)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = f(p1, p2, key)
+            jax.block_until_ready(o.residual)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), float(flops)
+
     results = {}
-    for name, fn in (("frontend", time_frontend), ("ba_step", time_ba)):
+    for name, fn in (("frontend", time_frontend), ("ba_step", time_ba),
+                     ("match_edges", time_edges)):
         times, flops = {}, {}
         for nd in (1, 2, 4, args.devices):
             if nd > args.devices:

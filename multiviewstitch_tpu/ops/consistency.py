@@ -63,6 +63,29 @@ def _gather_px(img2d, vy, vx):
     return vals, jnp.ones_like(vy, bool)
 
 
+def _gather_px_frames(imgs, vy, vx):
+    """Per-frame image gather: imgs [N,H,W] sampled at (vy, vx) [N,H,W]
+    within each frame -> (vals, ok).
+
+    TPU path: ONE banded gather on the frame-stacked [N*H, W] image with
+    row indices offset by n*H. Bands (8 rows) never span frames when H is
+    a multiple of 8 (VGA is), and the per-pixel row targets stay inside
+    their own frame, so this is exactly the per-frame gather — WITHOUT
+    vmapping the banded kernel over frames, which lowered the per-band
+    window slices to a scalar gather path (measured ~0.5 ms per VGA frame
+    vmapped vs 0.07 ms stacked on v5e)."""
+    n, h, w = imgs.shape
+    if _use_mxu_gather() and h % 8 == 0:
+        from .gather2d import gather_image_banded
+        off = (jnp.arange(n, dtype=jnp.int32) * h)[:, None, None]
+        vals, ok = gather_image_banded(
+            imgs.reshape(n * h, w),
+            (jnp.clip(vy, 0, h - 1) + off).reshape(n * h, w),
+            vx.reshape(n * h, w), mode="split2")
+        return vals.reshape(n, h, w), ok.reshape(n, h, w)
+    return jax.vmap(_gather_px)(imgs, vy, vx)
+
+
 def _round_px(x):
     """C++ ``(int)(x + 0.5)`` for the in-bounds positive coords we test."""
     return jnp.floor(x + 0.5).astype(jnp.int32)
@@ -89,7 +112,7 @@ def _offset_check(pts, cam_pix: CameraBatch, uv, ndisp, ncams: CameraBatch,
     # nearest-sample the neighbor disparity (clipped gather; masked later)
     uc = jnp.clip(un, 0, w - 1)
     vc = jnp.clip(vn, 0, h - 1)
-    dn, gok = jax.vmap(_gather_px)(ndisp, vc, uc)
+    dn, gok = _gather_px_frames(ndisp, vc, uc)
     ref_valid = (dn >= min_dsp) & (dn <= max_dsp) & gok
 
     # round trip: unproject the neighbor pixel, project into current cam

@@ -97,8 +97,8 @@ def sample_oriented_points(
                   (zn > 0)
             uc = jnp.clip(un, 0, w - 1)
             vc = jnp.clip(vn, 0, h - 1)
-            from .consistency import _gather_px
-            dn, gok = jax.vmap(_gather_px)(disparity[nbr], vc, uc)
+            from .consistency import _gather_px_frames
+            dn, gok = _gather_px_frames(disparity[nbr], vc, uc)
             inb = inb & gok
             # the point's disparity as seen from the neighbor camera
             d_proj = jnp.where(zn > 1e-12, 1.0 / jnp.maximum(zn, 1e-12), 0.0)
