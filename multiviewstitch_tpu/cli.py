@@ -130,14 +130,18 @@ def cmd_align(args) -> int:
     _log(f"aligning {len(seqs)} sequences ...")
     dbg = os.path.join(args.workdir, "Match") if getattr(
         args, "debug_artifacts", False) else None
-    result = align_sequences(seqs, cfg, seed=0,
-                             refine=getattr(args, "refine", False),
-                             debug_dir=dbg)
+    from .utils.debug_mode import debug_numerics, run_stage
+    with debug_numerics(os.environ.get("MVS_DEBUG_NUMERICS") == "1"):
+        result = run_stage(align_sequences, seqs, cfg, stage="align",
+                           seed=0, refine=getattr(args, "refine", False),
+                           debug_dir=dbg)
     save_srt(os.path.join(result_dir, "SRT.txt"), result.transforms)
     _log(f"pose chain solved (residuals {result.residuals}); "
          f"SRT.txt written")
 
-    pts, nrm = fuse_sequences(seqs, result, cfg)
+    pts, nrm = run_stage(fuse_sequences, seqs, result, cfg, stage="fuse")
+    from .utils.debug_mode import check_finite
+    check_finite("fuse", points=pts, normals=nrm)
     write_npts(os.path.join(result_dir, "PSR.npts"), pts, nrm)
     _log(f"fused cloud: {len(pts)} oriented points -> PSR.npts")
 

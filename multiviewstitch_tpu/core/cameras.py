@@ -104,14 +104,34 @@ class CameraBatch:
 # camera or has leading dims matching the points').
 # ---------------------------------------------------------------------------
 
+def _rot3(R, pts, transpose=False):
+    """[...,3,3] x [...,3] -> [...,3] as EXPLICIT elementwise math: a
+    3-wide einsum/dot_general lowers to an MXU matmul whose 3-element
+    contraction pads to the full systolic depth (~0.05% utilization —
+    measured ~30 ms for one VGA-sequence consistency pass, i.e. the whole
+    front-end budget); nine multiply-adds on the VPU are ~free."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    if transpose:
+        return jnp.stack([
+            R[..., 0, 0] * x + R[..., 1, 0] * y + R[..., 2, 0] * z,
+            R[..., 0, 1] * x + R[..., 1, 1] * y + R[..., 2, 1] * z,
+            R[..., 0, 2] * x + R[..., 1, 2] * y + R[..., 2, 2] * z,
+        ], axis=-1)
+    return jnp.stack([
+        R[..., 0, 0] * x + R[..., 0, 1] * y + R[..., 0, 2] * z,
+        R[..., 1, 0] * x + R[..., 1, 1] * y + R[..., 1, 2] * z,
+        R[..., 2, 0] * x + R[..., 2, 1] * y + R[..., 2, 2] * z,
+    ], axis=-1)
+
+
 def world_to_cam(cam: CameraBatch, pts):
     """world [...,3] -> camera frame [...,3].  (Camera.cpp:68-72)"""
-    return jnp.einsum("...ij,...j->...i", cam.R, pts) + cam.t
+    return _rot3(cam.R, pts) + cam.t
 
 
 def cam_to_world(cam: CameraBatch, pts):
     """camera [...,3] -> world frame [...,3].  (Camera.cpp:62-66)"""
-    return jnp.einsum("...ji,...j->...i", cam.R, pts - cam.t)
+    return _rot3(cam.R, pts - cam.t, transpose=True)
 
 
 def project(cam: CameraBatch, pts_world, eps: float = 1e-12):

@@ -70,13 +70,20 @@ def load_sequence_dir(imgdir: str, cfg: StitchConfig,
 
 
 def load_sequences(cfg: StitchConfig, base_dir: str = ".",
-                   use_check: bool = False) -> List[Sequence]:
-    """Load all sequences listed in the config's image-dir list."""
-    seqs = []
-    for d in cfg.image_dirs:
-        full = d if os.path.isabs(d) else os.path.join(base_dir, d)
-        seqs.append(load_sequence_dir(full, cfg, use_check))
-    return seqs
+                   use_check: bool = False,
+                   prefetch_depth: int = 2) -> List[Sequence]:
+    """Load all sequences listed in the config's image-dir list.
+
+    Per-directory ingest (raw decode + image decode + device upload) is
+    pipelined with ``prefetch_map`` so directory i+1 loads while directory
+    i uploads — the host-side stage overlap the reference's serial main
+    thread never had (pipeline/executor.py)."""
+    from .executor import prefetch_map
+    dirs = [d if os.path.isabs(d) else os.path.join(base_dir, d)
+            for d in cfg.image_dirs]
+    return list(prefetch_map(
+        lambda full: load_sequence_dir(full, cfg, use_check), dirs,
+        depth=prefetch_depth))
 
 
 def save_sequence_dir(imgdir: str, seq: Sequence, start: int = 0):
