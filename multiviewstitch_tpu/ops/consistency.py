@@ -64,8 +64,9 @@ def _gather_px(img2d, vy, vx):
 
 
 def _gather_px_frames(imgs, vy, vx):
-    """Per-frame image gather: imgs [N,H,W] sampled at (vy, vx) [N,H,W]
-    within each frame -> (vals, ok).
+    """Per-frame image gather: imgs [N,H,W] sampled at (vy, vx) [N,Ho,Wo]
+    within each frame -> (vals, ok). Ho/Wo may differ from H/W (strided
+    query grids).
 
     TPU path: ONE banded gather on the frame-stacked [N*H, W] image with
     row indices offset by n*H. Bands (8 rows) never span frames when H is
@@ -75,14 +76,15 @@ def _gather_px_frames(imgs, vy, vx):
     window slices to a scalar gather path (measured ~0.5 ms per VGA frame
     vmapped vs 0.07 ms stacked on v5e)."""
     n, h, w = imgs.shape
-    if _use_mxu_gather() and h % 8 == 0:
+    ho, wo = vy.shape[-2:]
+    if _use_mxu_gather() and ho % 8 == 0:
         from .gather2d import gather_image_banded
         off = (jnp.arange(n, dtype=jnp.int32) * h)[:, None, None]
         vals, ok = gather_image_banded(
             imgs.reshape(n * h, w),
-            (jnp.clip(vy, 0, h - 1) + off).reshape(n * h, w),
-            vx.reshape(n * h, w), mode="split2")
-        return vals.reshape(n, h, w), ok.reshape(n, h, w)
+            (jnp.clip(vy, 0, h - 1) + off).reshape(n * ho, wo),
+            vx.reshape(n * ho, wo), mode="split2")
+        return vals.reshape(n, ho, wo), ok.reshape(n, ho, wo)
     return jax.vmap(_gather_px)(imgs, vy, vx)
 
 
