@@ -26,7 +26,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def synth_ba(n_cams=16, n_pts=2048, seed=0):
+def synth_ba(n_cams=16, n_pts=2048, seed=0, obs_window=None):
+    """obs_window=None: every camera observes every point (dense, small
+    configs). obs_window=k: each point is seen by a k-camera window around
+    its home camera — the sparse visibility real sequences have (and the
+    shape that keeps the Schur cross-term tensor O(P*k^2) instead of
+    O(P*C^2))."""
     import jax.numpy as jnp
     from multiviewstitch_tpu.solvers import ba
 
@@ -42,17 +47,24 @@ def synth_ba(n_cams=16, n_pts=2048, seed=0):
 
     cam_idx = np.repeat(np.arange(n_cams), n_pts)
     pt_idx = np.tile(np.arange(n_pts), n_cams)
+    if obs_window:
+        home = pt_idx % n_cams
+        d = (cam_idx - home) % n_cams
+        keep = d < obs_window
+        cam_idx, pt_idx = cam_idx[keep], pt_idx[keep]
     uvs = []
     for c in range(n_cams):
         R = np.asarray(ba.rodrigues(jnp.asarray(rvec[c])))
         pc = (R @ pts.T).T + tvec[c]
         uvs.append(np.stack([K[0, 0] * pc[:, 0] / pc[:, 2] + K[0, 2],
                              K[1, 1] * pc[:, 1] / pc[:, 2] + K[1, 2]], -1))
-    uv = np.concatenate(uvs) + rng.normal(
-        size=(n_cams * n_pts, 2)).astype(np.float32) * 0.5
+    uv_all = np.stack(uvs)                         # [C, P, 2]
+    uv = uv_all[cam_idx, pt_idx] + rng.normal(
+        size=(len(cam_idx), 2)).astype(np.float32) * 0.5
 
     prob = ba.make_problem(K, cam_idx, pt_idx, uv, n_pts,
-                           max_obs_per_point=n_cams, n_cams=n_cams)
+                           max_obs_per_point=(obs_window or n_cams),
+                           n_cams=n_cams)
     st = ba.BAState(
         jnp.asarray(rvec + rng.normal(size=rvec.shape).astype(np.float32)
                     * 0.01),
@@ -63,12 +75,12 @@ def synth_ba(n_cams=16, n_pts=2048, seed=0):
     return prob, st
 
 
-def bench_ba(reps=8):
+def bench_ba(reps=8, n_cams=16, n_pts=2048, obs_window=None):
     import jax
     import jax.numpy as jnp
     from multiviewstitch_tpu.solvers import ba
 
-    prob, st = synth_ba()
+    prob, st = synth_ba(n_cams=n_cams, n_pts=n_pts, obs_window=obs_window)
     n_cams = st.rvec.shape[0]
     n_pts = st.points.shape[0]
 
@@ -126,6 +138,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force host CPU (baseline measurement)")
+    ap.add_argument("--big", action="store_true",
+                    help="production-shaped BA: 64 cams x 16384 points "
+                         "(the regime BASELINE configs 4-5 target)")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -138,12 +153,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/mvs_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    ba_ms = bench_ba()
+    if args.big:
+        ba_ms = bench_ba(reps=4, n_cams=64, n_pts=16384, obs_window=8)
+        ba_problem = "64 cams x 16384 pts (8-cam visibility window), " \
+                     "Schur GN step"
+    else:
+        ba_ms = bench_ba()
+        ba_problem = "16 cams x 2048 pts, Schur GN step"
     arap_ms, nv = bench_arap()
     print(json.dumps({
         "backend": jax.default_backend(),
         "ba_ms_per_iter": round(ba_ms, 3),
-        "ba_problem": "16 cams x 2048 pts, Schur GN step",
+        "ba_problem": ba_problem,
         "arap_ms_per_outer_iter": round(arap_ms, 3),
         "arap_problem": f"{nv}-vertex sphere, 60 CG iters per outer",
     }))

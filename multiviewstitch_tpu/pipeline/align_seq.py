@@ -374,11 +374,13 @@ def fuse_sequences(seqs: List[Sequence], result: AlignResult,
             nbr_step=cfg.nbr_frm_step, dsp_err=cfg.dsp_err,
             conf_min=cfg.conf_min)
         T = result.transforms[k]
-        for fi in range(op.points.shape[0]):
-            valid = visibility_filter(op.points[fi], op.valid[fi], seq.cams)
-            pts = apply_points(T, op.points[fi])
-            nrm = rotate_normals(T, op.normals[fi])
-            v = np.asarray(valid)
-            all_pts.append(np.asarray(pts)[v])
-            all_nrm.append(np.asarray(nrm)[v])
+        # all frames in one dispatch + ONE host pull per sequence (the
+        # per-frame loop cost a device round trip per frame)
+        valid = jax.vmap(lambda p, v: visibility_filter(p, v, seq.cams))(
+            op.points, op.valid)
+        pts = apply_points(T, op.points.reshape(-1, 3))
+        nrm = rotate_normals(T, op.normals.reshape(-1, 3))
+        v = np.asarray(valid).reshape(-1)
+        all_pts.append(np.asarray(pts)[v])
+        all_nrm.append(np.asarray(nrm)[v])
     return np.concatenate(all_pts), np.concatenate(all_nrm)
