@@ -63,6 +63,9 @@ def main():
     variants = {
         "xla_exact_3pass": chain(partial(gather_image_banded, mode="exact")),
         "xla_split2": chain(partial(gather_image_banded, mode="split2")),
+        "xla_split2_coltiled": chain(partial(
+            gather_image_banded, mode="split2", tile_cols=128,
+            window_cols=256)),
         "xla_lossy_1pass": chain(partial(gather_image_banded, mode="fast")),
         "pallas_exact": chain(pallas_gather_banded),
     }

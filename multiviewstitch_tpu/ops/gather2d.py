@@ -45,16 +45,16 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     pixels with in_window=False are 0 and must be patched by the caller.
 
     Tiles are (band_rows x tile_cols) output pixels; each reads a source
-    window of (window_rows x window_cols) centered on the tile's MEAN
-    target row/column (mean, not median: median = full sort, slow on TPU;
-    a few wild pixels shift the mean by at most k*H/P rows and become the
-    misses instead of evicting the tile). Column windowing cuts the
-    one-hot operand to window_cols wide. NOTE: measured on the v5e, the
-    extra per-tile dynamic window slices cost MORE than the narrower
-    one-hot saves (499 -> 213 fps on the front-end bench), so the default
-    is a single full-width tile per band; the tiled mode stays available
-    for architectures where slicing is cheap. The matmul stays f32: it is
-    a bit-exact SELECTION (1.0 * x, one term per sum).
+    window of window_rows rows centered on the band's MEAN target row
+    (mean, not median: median = full sort, slow on TPU; a few wild pixels
+    shift the mean by at most k*H/P rows and become the misses instead of
+    evicting the tile). With tile_cols/window_cols set, columns tile
+    STATICALLY: tile tx reads the fixed window around its own columns —
+    measured v5e: split2 full-width 0.32 ms vs col-tiled (128/256) 0.28 ms
+    per VGA gather, i.e. the op is not MAC-bound at these shapes, so
+    full-width stays the default and the tiled mode is available for
+    larger widths. (Round 1's DYNAMIC per-tile xbase windows were slower
+    than full-width; that path is replaced by the static tiling.)
     """
     H, W = src.shape
     Ho, Wo = iy.shape
@@ -79,25 +79,58 @@ def gather_image_banded(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     iy_cl = jnp.clip(tilefy(iy), 0, H - 1)
     ix_cl = jnp.clip(tilefy(ix), 0, W - 1)
 
-    ybase = jnp.clip(jnp.mean(iy_cl.astype(jnp.float32), axis=2)
-                     .astype(jnp.int32) - window_rows // 2,
-                     0, max(H - window_rows, 0))                # [nb,nt]
-    xbase = jnp.clip(jnp.mean(ix_cl.astype(jnp.float32), axis=2)
-                     .astype(jnp.int32) - window_cols // 2,
-                     0, max(W - window_cols, 0))                # [nb,nt]
+    static_cols = nt > 1 and window_cols < W
+    if static_cols:
+        # one row window per BAND (all column tiles share it)
+        ybase = jnp.clip(
+            jnp.mean(iy_cl.astype(jnp.float32), axis=(1, 2))
+            .astype(jnp.int32) - window_rows // 2,
+            0, max(H - window_rows, 0))[:, None]                # [nb,1]
+        ybase = jnp.broadcast_to(ybase, (nb, nt))
+    else:
+        ybase = jnp.clip(jnp.mean(iy_cl.astype(jnp.float32), axis=2)
+                         .astype(jnp.int32) - window_rows // 2,
+                         0, max(H - window_rows, 0))            # [nb,nt]
 
     rel_y = iy_cl - ybase[:, :, None]
-    rel_x = ix_cl - xbase[:, :, None]
-    in_win = ((rel_y >= 0) & (rel_y < window_rows) &
-              (rel_x >= 0) & (rel_x < window_cols))
+    in_win = (rel_y >= 0) & (rel_y < window_rows)
     rel_y = jnp.clip(rel_y, 0, window_rows - 1)
-    rel_x = jnp.clip(rel_x, 0, window_cols - 1)
 
-    # per-tile source windows [nb, nt, WY, WX]
-    def slice_tile(yb, xb):
-        return jax.lax.dynamic_slice(src, (yb, xb),
-                                     (window_rows, window_cols))
-    win = jax.vmap(jax.vmap(slice_tile))(ybase, xbase)
+    if static_cols:
+        # STATIC column tiling: output-column tile tx reads the fixed
+        # source window [tx*tile - pad, tx*tile + tile + pad) (source
+        # zero-padded at the borders) — the windows are static slices of
+        # the dynamically row-sliced band, so the narrower one-hot costs
+        # no extra dynamic slicing. (Round 1 tried DYNAMIC per-tile xbase
+        # windows; the per-tile dynamic slices cost more than the
+        # narrower matmul saved — this static variant has none.)
+        cpad = (window_cols - tile_cols) // 2
+        xbase = (jnp.arange(nt, dtype=jnp.int32) * tile_cols - cpad)[None]
+        srcp = jnp.pad(src, ((0, 0),
+                             (cpad, max(nt * tile_cols + cpad - W, cpad))))
+
+        def slice_rows(yb):
+            return jax.lax.dynamic_slice(
+                srcp, (yb, 0), (window_rows, srcp.shape[1]))
+        rows_w = jax.vmap(slice_rows)(ybase[:, 0])     # [nb, WY, Wp]
+        win = jnp.stack([
+            jax.lax.slice_in_dim(rows_w, tx * tile_cols,
+                                 tx * tile_cols + window_cols, axis=2)
+            for tx in range(nt)], axis=1)              # [nb, nt, WY, WC]
+    else:
+        xbase = jnp.clip(jnp.mean(ix_cl.astype(jnp.float32), axis=2)
+                         .astype(jnp.int32) - window_cols // 2,
+                         0, max(W - window_cols, 0))            # [nb,nt]
+
+        # per-tile source windows [nb, nt, WY, WX]
+        def slice_tile(yb, xb):
+            return jax.lax.dynamic_slice(src, (yb, xb),
+                                         (window_rows, window_cols))
+        win = jax.vmap(jax.vmap(slice_tile))(ybase, xbase)
+
+    rel_x = ix_cl - xbase[..., None]
+    in_win = in_win & (rel_x >= 0) & (rel_x < window_cols)
+    rel_x = jnp.clip(rel_x, 0, window_cols - 1)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, window_cols), 3)
     # selection precision (the one-hot side is 0.0/1.0, exact in bf16; every

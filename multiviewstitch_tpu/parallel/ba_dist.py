@@ -71,22 +71,16 @@ def _point_block_terms(K, rvec, tvec, points, cam_of, uv, mask, lam):
     """Per-point-shard GN terms. points [p,3] local; cam_of/uv/mask [p,M].
     Returns (S_part [C+1,C+1,6,6], b_part [C+1,6], Hpp_inv [p,3,3],
     W [p,M,6,3], bp [p,3])."""
+    from ..solvers.ba import projection_jacobians
     num_cams = rvec.shape[0]
 
-    def one_obs(pt, c, uv1, m):
-        cam6 = jnp.concatenate([rvec[c], tvec[c]])
-        r = _residual_one(K, cam6[:3], cam6[3:], pt, uv1)
-        Jc = jax.jacfwd(lambda c6: _residual_one(K, c6[:3], c6[3:], pt,
-                                                 uv1))(cam6)
-        Jp = jax.jacfwd(lambda p: _residual_one(K, cam6[:3], cam6[3:], p,
-                                                uv1))(pt)
-        mm = m.astype(r.dtype)
-        return r * mm, Jc * mm, Jp * mm
-
-    def one_point(pt, cams, uvs, ms):
-        return jax.vmap(lambda c, u, m: one_obs(pt, c, u, m))(cams, uvs, ms)
-
-    r, Jc, Jp = jax.vmap(one_point)(points, cam_of, uv, mask)
+    r, Jc, Jp = projection_jacobians(
+        K, rvec[cam_of], tvec[cam_of],
+        jnp.broadcast_to(points[:, None, :], cam_of.shape + (3,)), uv)
+    mm = mask.astype(r.dtype)
+    r = r * mm[..., None]
+    Jc = Jc * mm[..., None, None]
+    Jp = Jp * mm[..., None, None]
     # r [p,M,2], Jc [p,M,2,6], Jp [p,M,2,3]
 
     Hpp = jnp.einsum("pmai,pmaj->pij", Jp, Jp) + lam * jnp.eye(3)

@@ -141,21 +141,67 @@ def reprojection_rmse(prob: BAProblem, st: BAState) -> jnp.ndarray:
     return jnp.sqrt((r ** 2).sum() / (2 * n))
 
 
+def _skew(v):
+    """[...,3] -> [...,3,3] cross-product matrices."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _so3_right_jacobian(w):
+    """Right Jacobian of the exponential map: R(w + dw) ~= R(w) exp([Jr dw])
+    (Taylor-guarded at small angles). [...,3] -> [...,3,3]."""
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-24))
+    Kw = _skew(w)
+    K2 = Kw @ Kw
+    small = th < 1e-4
+    a = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-24))
+    b = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / jnp.maximum(th2 * th, 1e-24))
+    eye = jnp.broadcast_to(jnp.eye(3), Kw.shape)
+    return eye - a[..., None, None] * Kw + b[..., None, None] * K2
+
+
+def projection_jacobians(K, rvec, tvec, X, uv):
+    """Batched ANALYTIC residual + Jacobians of the reprojection residual:
+    r [.,2], Jc = dr/d(rvec,tvec) [.,2,6], Jp = dr/dX [.,2,3].
+
+    Replaces the per-observation jacfwd (6+3 dual-number passes of a
+    scalar-heavy function): one closed-form chain
+      dr/dpc = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+      dpc/dt = I,  dpc/dX = R,  dpc/drvec = -R [X]x Jr(rvec)
+    — identical values (regression-tested against jacfwd) at a fraction
+    of the op count, which is what the TPU solver rows are bound by."""
+    R = rodrigues(rvec)
+    pc = jnp.einsum("...ij,...j->...i", R, X) + tvec
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+    fx, fy = K[0, 0], K[1, 1]
+    u = fx * pc[..., 0] / z + K[0, 2]
+    v = fy * pc[..., 1] / z + K[1, 2]
+    r = jnp.stack([u - uv[..., 0], v - uv[..., 1]], -1)
+
+    iz = 1.0 / z
+    zero = jnp.zeros_like(iz)
+    Jpc = jnp.stack([
+        jnp.stack([fx * iz, zero, -fx * pc[..., 0] * iz * iz], -1),
+        jnp.stack([zero, fy * iz, -fy * pc[..., 1] * iz * iz], -1)],
+        -2)                                            # [.,2,3]
+    Jp = Jpc @ R                                       # [.,2,3]
+    Jw = -(Jp @ _skew(X)) @ _so3_right_jacobian(rvec)  # [.,2,3]
+    Jc = jnp.concatenate([Jw, Jpc], axis=-1)           # [.,2,6]
+    return r, Jc, Jp
+
+
 def _obs_jacobians(prob: BAProblem, st: BAState):
-    """Per-observation residual + Jacobians wrt its camera (6) and point (3).
-    Autodiff (jacfwd) vmapped over observations."""
-    def res_of(cam6, point, c, uv):
-        return _residual_one(prob.K, cam6[:3], cam6[3:], point, uv)
-
-    def one(o_cam, o_pt, o_uv):
-        cam6 = jnp.concatenate([st.rvec[o_cam], st.tvec[o_cam]])
-        point = st.points[o_pt]
-        r = res_of(cam6, point, o_cam, o_uv)
-        Jc = jax.jacfwd(lambda c6: res_of(c6, point, o_cam, o_uv))(cam6)
-        Jp = jax.jacfwd(lambda p: res_of(cam6, p, o_cam, o_uv))(point)
-        return r, Jc, Jp
-
-    r, Jc, Jp = jax.vmap(one)(prob.cam_idx, prob.pt_idx, prob.uv)
+    """Per-observation residual + Jacobians wrt its camera (6) and point
+    (3), analytic (projection_jacobians)."""
+    r, Jc, Jp = projection_jacobians(
+        prob.K, st.rvec[prob.cam_idx], st.tvec[prob.cam_idx],
+        st.points[prob.pt_idx], prob.uv)
     m = prob.mask[:, None]
     return (jnp.where(m, r, 0.0), jnp.where(m[..., None], Jc, 0.0),
             jnp.where(m[..., None], Jp, 0.0))

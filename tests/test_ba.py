@@ -89,3 +89,42 @@ def test_gauge_fixed_camera_untouched():
                                np.asarray(init.rvec[0]), atol=1e-7)
     np.testing.assert_allclose(np.asarray(st.tvec[0]),
                                np.asarray(init.tvec[0]), atol=1e-7)
+
+
+def test_analytic_jacobians_match_autodiff():
+    """projection_jacobians (closed-form dr/d(rvec,tvec,X)) == jacfwd of
+    _residual_one across random poses, including near-zero rotations."""
+    import jax
+    from multiviewstitch_tpu.solvers.ba import (projection_jacobians,
+                                                _residual_one)
+    rng = np.random.default_rng(0)
+    K = np.array([[400.0, 0, 320.0], [0, 380.0, 240.0], [0, 0, 1]],
+                 np.float32)
+    n = 64
+    rv = rng.normal(size=(n, 3)).astype(np.float32) * 0.7
+    rv[:8] *= 1e-6                                  # small-angle branch
+    tv = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    X = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    X[:, 2] += 4.0
+    uv = rng.uniform(0, 640, size=(n, 2)).astype(np.float32)
+
+    r, Jc, Jp = projection_jacobians(jnp.asarray(K), jnp.asarray(rv),
+                                     jnp.asarray(tv), jnp.asarray(X),
+                                     jnp.asarray(uv))
+
+    def one(rv1, tv1, X1, uv1):
+        cam6 = jnp.concatenate([rv1, tv1])
+        r1 = _residual_one(jnp.asarray(K), cam6[:3], cam6[3:], X1, uv1)
+        Jc1 = jax.jacfwd(lambda c6: _residual_one(
+            jnp.asarray(K), c6[:3], c6[3:], X1, uv1))(cam6)
+        Jp1 = jax.jacfwd(lambda p: _residual_one(
+            jnp.asarray(K), cam6[:3], cam6[3:], p, uv1))(X1)
+        return r1, Jc1, Jp1
+
+    r2, Jc2, Jp2 = jax.vmap(one)(jnp.asarray(rv), jnp.asarray(tv),
+                                 jnp.asarray(X), jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp2), rtol=2e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc2), rtol=2e-3,
+                               atol=1e-3)

@@ -116,3 +116,33 @@ def test_precision_modes_error_bounds():
         assert ok.mean() > 0.99
         rel = np.abs(np.asarray(vals)[ok] - ref[ok]) / np.abs(ref[ok])
         assert rel.max() <= bound, (mode, rel.max())
+
+
+def test_static_column_tiles_match_full_width():
+    """Static column-tiled mode (tile_cols/window_cols) equals the
+    full-width gather wherever its (column) window covers the target;
+    out-of-window pixels are masked, never wrong."""
+    from multiviewstitch_tpu.ops.gather2d import gather_image_banded
+    H, W = 64, 256
+    rng = np.random.default_rng(5)
+    src = rng.normal(size=(H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    iy = np.clip(yy + (4 * np.sin(xx / 19.0)).astype(int), 0, H - 1)
+    ix = np.clip(xx + (11 * np.cos(yy / 13.0)).astype(int), 0, W - 1)
+    ref = src[iy, ix]
+    for mode in ("exact", "split2"):
+        vals, ok = gather_image_banded(
+            jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
+            jnp.asarray(ix.astype(np.int32)), tile_cols=64,
+            window_cols=128, mode=mode)
+        ok = np.asarray(ok)
+        assert ok.mean() > 0.98, ok.mean()     # 11px swing, 32px pad
+        tol = 0 if mode == "exact" else 1e-4
+        np.testing.assert_allclose(np.asarray(vals)[ok], ref[ok], atol=tol)
+    # a violent column jump must be masked
+    ix2 = ix.copy()
+    ix2[10, 10] = W - 1
+    vals, ok = gather_image_banded(
+        jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
+        jnp.asarray(ix2.astype(np.int32)), tile_cols=64, window_cols=128)
+    assert not np.asarray(ok)[10, 10]
