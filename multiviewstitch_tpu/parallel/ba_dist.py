@@ -68,40 +68,15 @@ def group_by_point(K, cam_idx, pt_idx, uv, n_points, n_cams,
 
 
 def _point_block_terms(K, rvec, tvec, points, cam_of, uv, mask, lam):
-    """Per-point-shard GN terms. points [p,3] local; cam_of/uv/mask [p,M].
-    Returns (S_part [C+1,C+1,6,6], b_part [C+1,6], Hpp_inv [p,3,3],
-    W [p,M,6,3], bp [p,3])."""
-    from ..solvers.ba import projection_jacobians
+    """Per-point-shard GN terms (scatter-free MXU assembly, shared with
+    the single-chip solver — solvers/ba.py::_grouped_schur_terms).
+    points [p,3] local; cam_of/uv/mask [p,M]. Returns PARTIAL
+    (S [C,C,6,6], b [C,6]) — valid to psum across point shards — plus the
+    local back-substitution operands (Hpp_inv, W, bp, onehot)."""
+    from ..solvers.ba import _grouped_schur_terms
     num_cams = rvec.shape[0]
-
-    r, Jc, Jp = projection_jacobians(
-        K, rvec[cam_of], tvec[cam_of],
-        jnp.broadcast_to(points[:, None, :], cam_of.shape + (3,)), uv)
-    mm = mask.astype(r.dtype)
-    r = r * mm[..., None]
-    Jc = Jc * mm[..., None, None]
-    Jp = Jp * mm[..., None, None]
-    # r [p,M,2], Jc [p,M,2,6], Jp [p,M,2,3]
-
-    Hpp = jnp.einsum("pmai,pmaj->pij", Jp, Jp) + lam * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp)
-    bp = -jnp.einsum("pmai,pma->pi", Jp, r)
-    W = jnp.einsum("pmai,pmaj->pmij", Jc, Jp)              # [p,M,6,3]
-    Y = jnp.einsum("pmij,pjk->pmik", W, Hpp_inv)
-
-    slot = jnp.where(mask, cam_of, num_cams)
-    # Hcc partial
-    HccO = jnp.einsum("pmai,pmaj->pmij", Jc, Jc)
-    bcO = -jnp.einsum("pmai,pma->pmi", Jc, r)
-    S = jnp.zeros((num_cams + 1, num_cams + 1, 6, 6))
-    S = S.at[slot, slot].add(HccO, mode="drop")
-    cross = jnp.einsum("pmik,pnjk->pmnij", Y, W)
-    S = S.at[slot[:, :, None], slot[:, None, :]].add(-cross, mode="drop")
-    b = jnp.zeros((num_cams + 1, 6))
-    b = b.at[slot].add(bcO, mode="drop")
-    red = jnp.einsum("pmik,pk->pmi", Y, bp)
-    b = b.at[slot].add(-red, mode="drop")
-    return S, b, Hpp_inv, W, bp, slot
+    return _grouped_schur_terms(K, rvec, tvec, points, cam_of, uv, mask,
+                                lam, num_cams)
 
 
 @partial(jax.jit, static_argnames=("mesh", "num_cams"))
@@ -110,13 +85,11 @@ def gn_step_sharded(prob: BAPointBlocks, st: BAState, lam, *, mesh: Mesh,
     """One damped GN/Schur step with points sharded over mesh axis 'views'."""
 
     def shard_fn(K, cam_of, uv, mask, fixed, rvec, tvec, points):
-        S, b, Hpp_inv, W, bp, slot = _point_block_terms(
+        S, b, Hpp_inv, W, bp, oh = _point_block_terms(
             K, rvec, tvec, points, cam_of, uv, mask, lam)
         # global reduction of the camera system across point shards
         S = jax.lax.psum(S, "views")
         b = jax.lax.psum(b, "views")
-        S = S[:num_cams, :num_cams]
-        b = b[:num_cams]
         S = S + lam * jnp.eye(6)[None, None] * jnp.eye(num_cams)[
             :, :, None, None]
 
@@ -132,9 +105,8 @@ def gn_step_sharded(prob: BAPointBlocks, st: BAState, lam, *, mesh: Mesh,
         dc = dc * ffree[:, None]
 
         # local point back-substitution
-        dc_of = dc[jnp.clip(slot, 0, num_cams - 1)] * mask[..., None]
-        WTdc = jnp.einsum("pmik,pmi->pmk", W, dc_of)
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - WTdc.sum(1))
+        from ..solvers.ba import back_substitute_points
+        dp = back_substitute_points(W, Hpp_inv, bp, oh, dc)
         return dc, points + dp
 
     pspec = P("views")

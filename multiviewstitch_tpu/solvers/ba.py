@@ -13,12 +13,21 @@ Formulation (textbook BA, TPU-shaped):
   - residuals: pinhole reprojection errors, one [O] batch
   - per-observation Jacobians by autodiff (jacfwd of the scalar-obs
     residual, vmapped) — no hand-derived derivatives to get wrong
-  - normal equations assembled with segment-sums; the point blocks
-    H_pp [P,3,3] invert batched; the reduced camera system
-    S = H_cc - W H_pp^-1 W^T is built from padded per-point observation
-    lists (einsum over observation pairs) and solved dense (6C x 6C is
-    small) or by CG when sharded.
-All shapes static; masks carry validity.
+  - normal equations assembled SCATTER-FREE in a per-point grouped [P,M]
+    layout: camera-indexed reductions (H_cc, b_c, the Schur cross blocks)
+    are one-hot einsums, and the cross term
+    S = H_cc - sum_p (W Hpp^-1)(p) W(p)^T collapses to ONE large matmul
+    [6C, 3P] @ [3P, 6C] that rides the MXU. (Round-2 measurement: the
+    previous [P,M,M,6,6] scatter-add dominated the step — 37.7M scattered
+    elements at the 64-cam/16k-pt shape; TPU scatters run on the scalar
+    path at ~ns/element while the equivalent matmul is sub-millisecond.)
+    The point blocks H_pp [P,3,3] invert batched; the reduced system
+    (6C x 6C, small) solves dense, or sharded with a psum in
+    parallel/ba_dist.py which reuses the same grouped assembly.
+All shapes static; masks carry validity. Assembly uses the capped
+per-point observation lists [P, max_obs_per_point]; observations beyond
+the cap are kept in the flat arrays (and in ``residuals``) but do not
+contribute to the normal equations.
 """
 
 from __future__ import annotations
@@ -66,6 +75,10 @@ class BAProblem(NamedTuple):
     pt_obs: jnp.ndarray     # [P,M] int32 indices into the obs arrays
     pt_obs_mask: jnp.ndarray  # [P,M] bool
     fixed_cams: jnp.ndarray   # [C] bool — gauge fixing (e.g. camera 0)
+    # grouped observation data (gathered once on the host so the device
+    # step never scatters/gathers through the flat arrays):
+    cam_of: jnp.ndarray     # [P,M] int32 camera of each obs slot
+    uv_g: jnp.ndarray       # [P,M,2] observed pixels per slot
 
 
 class BAState(NamedTuple):
@@ -105,8 +118,13 @@ def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=16,
     # at 64-view scale)
     slot, keep = _group_ranks(pt_idx, max_obs_per_point)
     obs_ids = np.argsort(pt_idx, kind="stable").astype(np.int32)
-    pt_obs[pt_idx[obs_ids[keep]], slot[keep]] = obs_ids[keep]
-    pt_obs_mask[pt_idx[obs_ids[keep]], slot[keep]] = True
+    sel = obs_ids[keep]
+    pt_obs[pt_idx[sel], slot[keep]] = sel
+    pt_obs_mask[pt_idx[sel], slot[keep]] = True
+    cam_of = np.zeros((n_points, max_obs_per_point), np.int32)
+    uv_g = np.zeros((n_points, max_obs_per_point, 2), np.float32)
+    cam_of[pt_idx[sel], slot[keep]] = cam_idx[sel]
+    uv_g[pt_idx[sel], slot[keep]] = uv[sel]
     C = n_cams or int(cam_idx.max()) + 1
     fc = np.zeros(C, bool)
     if fixed_cams is None:
@@ -116,7 +134,8 @@ def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=16,
     return BAProblem(jnp.asarray(K, jnp.float32), jnp.asarray(cam_idx),
                      jnp.asarray(pt_idx), jnp.asarray(uv),
                      jnp.ones(O, bool), jnp.asarray(pt_obs),
-                     jnp.asarray(pt_obs_mask), jnp.asarray(fc))
+                     jnp.asarray(pt_obs_mask), jnp.asarray(fc),
+                     jnp.asarray(cam_of), jnp.asarray(uv_g))
 
 
 def _residual_one(K, rvec, tvec, point, uv):
@@ -196,15 +215,70 @@ def projection_jacobians(K, rvec, tvec, X, uv):
     return r, Jc, Jp
 
 
-def _obs_jacobians(prob: BAProblem, st: BAState):
-    """Per-observation residual + Jacobians wrt its camera (6) and point
-    (3), analytic (projection_jacobians)."""
+def _grouped_schur_terms(K, rvec, tvec, points, cam_of, uv, mask, lam,
+                         num_cams: int):
+    """Scatter-free Schur-term assembly in the per-point grouped layout.
+
+    Inputs: camera params [C,·], a (possibly local/sharded) point block
+    ``points`` [p,3] with its observation slots cam_of/uv/mask [p,M,·].
+    Every camera-indexed reduction is a one-hot einsum and the cross term
+    is a single [6C, 3p] @ [3p, 6C] matmul, so the step contains NO
+    scatter/gather ops (TPU scatters run on the scalar path at ~ns per
+    element and dominated the previous formulation). Shared by the
+    single-chip step (gn_step) and the psum-sharded step
+    (parallel/ba_dist.py — returns PARTIAL S/b, valid to psum).
+
+    Returns (S [C,C,6,6] incl. undamped H_cc on the diagonal, b [C,6],
+    Hpp_inv [p,3,3], W [p,M,6,3], bp [p,3], onehot [p,M,C]).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    oh = (jnp.where(mask, cam_of, num_cams)[..., None] ==
+          jnp.arange(num_cams)).astype(jnp.float32)        # [p,M,C]
+    # camera params per slot via one-hot matmul (tiny; avoids row gathers)
+    rv = jnp.einsum("pmc,ci->pmi", oh, rvec, precision=hi)
+    tv = jnp.einsum("pmc,ci->pmi", oh, tvec, precision=hi)
     r, Jc, Jp = projection_jacobians(
-        prob.K, st.rvec[prob.cam_idx], st.tvec[prob.cam_idx],
-        st.points[prob.pt_idx], prob.uv)
-    m = prob.mask[:, None]
-    return (jnp.where(m, r, 0.0), jnp.where(m[..., None], Jc, 0.0),
-            jnp.where(m[..., None], Jp, 0.0))
+        K, rv, tv, jnp.broadcast_to(points[:, None, :], cam_of.shape + (3,)),
+        uv)
+    mm = mask.astype(r.dtype)
+    r = r * mm[..., None]
+    Jc = Jc * mm[..., None, None]
+    Jp = Jp * mm[..., None, None]
+    # r [p,M,2], Jc [p,M,2,6], Jp [p,M,2,3]
+
+    Hpp = jnp.einsum("pmai,pmaj->pij", Jp, Jp) + lam * jnp.eye(3)
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    bp = -jnp.einsum("pmai,pma->pi", Jp, r)
+    W = jnp.einsum("pmai,pmaj->pmij", Jc, Jp)              # [p,M,6,3]
+    Y = jnp.einsum("pmij,pjk->pmik", W, Hpp_inv)           # [p,M,6,3]
+
+    # H_cc and b_c: one-hot reductions over observation slots
+    HccO = jnp.einsum("pmai,pmaj->pmij", Jc, Jc)
+    Hcc = jnp.einsum("pmc,pmij->cij", oh, HccO, precision=hi)
+    bcO = -jnp.einsum("pmai,pma->pmi", Jc, r)
+    bc = jnp.einsum("pmc,pmi->ci", oh, bcO, precision=hi)
+
+    # cross term: accumulate Y and W per (point, camera), then one matmul
+    #   S_cross[c,d] = sum_p G_y[p,c] G_w[p,d]^T
+    Gy = jnp.einsum("pmc,pmik->pcik", oh, Y, precision=hi)  # [p,C,6,3]
+    Gw = jnp.einsum("pmc,pmik->pcik", oh, W, precision=hi)
+    Ay = Gy.transpose(1, 2, 0, 3).reshape(num_cams * 6, -1)  # [6C, 3p]
+    Aw = Gw.transpose(1, 2, 0, 3).reshape(num_cams * 6, -1)
+    cross = jnp.matmul(Ay, Aw.T, precision=hi)
+    cross = cross.reshape(num_cams, 6, num_cams, 6).transpose(0, 2, 1, 3)
+
+    S = (-cross).at[jnp.arange(num_cams), jnp.arange(num_cams)].add(Hcc)
+    # reduced rhs: b = bc - sum_p G_y[p,c] bp_p
+    red = jnp.matmul(Ay, bp.reshape(-1), precision=hi).reshape(num_cams, 6)
+    return S, bc - red, Hpp_inv, W, bp, oh
+
+
+def back_substitute_points(W, Hpp_inv, bp, oh, delta_c):
+    """dp = Hpp^-1 (bp - sum_{obs} W^T dc), camera gather as one-hot."""
+    hi = jax.lax.Precision.HIGHEST
+    dc_of = jnp.einsum("pmc,ci->pmi", oh, delta_c, precision=hi)  # [p,M,6]
+    WTdc = jnp.einsum("pmik,pmi->pmk", W, dc_of)
+    return jnp.einsum("pij,pj->pi", Hpp_inv, bp - WTdc.sum(1))
 
 
 @partial(jax.jit, static_argnames=("num_cams", "num_points"))
@@ -212,45 +286,14 @@ def gn_step(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
             num_cams: int, num_points: int
             ) -> Tuple[BAState, jnp.ndarray]:
     """One damped GN step via the Schur complement. Returns (new state,
-    predicted-vs-actual gain ratio for LM control)."""
-    r, Jc, Jp = _obs_jacobians(prob, st)       # [O,2], [O,2,6], [O,2,3]
-    ci, pi = prob.cam_idx, prob.pt_idx
+    step norm for LM control)."""
+    S, b_s, Hpp_inv, W, bp, oh = _grouped_schur_terms(
+        prob.K, st.rvec, st.tvec, st.points, prob.cam_of, prob.uv_g,
+        prob.pt_obs_mask, lam, num_cams)
 
-    # normal-equation blocks
-    Hcc = jnp.zeros((num_cams, 6, 6)).at[ci].add(
-        jnp.einsum("oai,oaj->oij", Jc, Jc))
-    Hpp = jnp.zeros((num_points, 3, 3)).at[pi].add(
-        jnp.einsum("oai,oaj->oij", Jp, Jp))
-    bc = jnp.zeros((num_cams, 6)).at[ci].add(
-        -jnp.einsum("oai,oa->oi", Jc, r))
-    bp = jnp.zeros((num_points, 3)).at[pi].add(
-        -jnp.einsum("oai,oa->oi", Jp, r))
-
-    # LM damping
-    Hcc = Hcc + lam * jnp.eye(6)
-    Hpp = Hpp + lam * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp)
-
-    # per-observation W_o = Jc_o^T Jp_o  [O,6,3]
-    W = jnp.einsum("oai,oaj->oij", Jc, Jp)
-
-    # Schur: S = Hcc - sum_p sum_{m,n in obs(p)} W_m Hpp_p^-1 W_n^T
-    po, pm = prob.pt_obs, prob.pt_obs_mask            # [P,M]
-    Wp = jnp.where(pm[..., None, None], W[po], 0.0)   # [P,M,6,3]
-    cam_of = jnp.where(pm, ci[po], num_cams)          # [P,M] (pad->dropped)
-    Y = jnp.einsum("pmij,pjk->pmik", Wp, Hpp_inv)     # [P,M,6,3]
-    cross = jnp.einsum("pmik,pnjk->pmnij", Y, Wp)     # [P,M,M,6,6]
-
-    S = jnp.zeros((num_cams + 1, num_cams + 1, 6, 6))
-    S = S.at[cam_of[:, :, None], cam_of[:, None, :]].add(-cross, mode="drop")
-    S = S[:num_cams, :num_cams]
-    S = S + jnp.zeros_like(S).at[jnp.arange(num_cams),
-                                 jnp.arange(num_cams)].set(Hcc)
-
-    # reduced rhs: b_s = bc - sum_p W Hpp^-1 bp
-    red = jnp.einsum("pmik,pk->pmi", Y, bp)            # [P,M,6]
-    b_s = bc + jnp.zeros((num_cams + 1, 6)).at[cam_of].add(
-        -jnp.where(pm[..., None], red, 0.0), mode="drop")[:num_cams]
+    # LM damping on the camera blocks (H_pp damped inside the assembly)
+    S = S.at[jnp.arange(num_cams), jnp.arange(num_cams)].add(
+        lam * jnp.eye(6))
 
     # gauge fixing: zero out fixed cameras' rows/cols, identity diagonal
     fixed = prob.fixed_cams
@@ -267,12 +310,7 @@ def gn_step(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
         b_s.reshape(-1)).reshape(num_cams, 6)
     delta_c = delta_c * ffree[:, None]
 
-    # back-substitute points: dp = Hpp^-1 (bp - sum_{obs} W^T dc)
-    WTdc = jnp.einsum("pmik,pmi->pmk", Wp, delta_c[
-        jnp.clip(cam_of, 0, num_cams - 1)] *
-        pm[..., None])                                 # [P,M,3]
-    bp_adj = bp - WTdc.sum(1)
-    delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp_adj)
+    delta_p = back_substitute_points(W, Hpp_inv, bp, oh, delta_c)
 
     new = BAState(st.rvec + delta_c[:, :3], st.tvec + delta_c[:, 3:],
                   st.points + delta_p)

@@ -254,21 +254,52 @@ def _cg(matvec, b, x0, iters: int, tol: float, precond):
     return x
 
 
-@partial(jax.jit, static_argnames=("outer_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("outer_iters", "cg_iters", "dense"))
 def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
-               cg_iters: int = 200, tol: float = 1e-4) -> jnp.ndarray:
+               cg_iters: int = 200, tol: float = 1e-4,
+               dense: Optional[bool] = None) -> jnp.ndarray:
     """ARAP local-global iterations (the CGAL deform(5, 1e-4) equivalent,
     Deformation.cpp:393-398): constrained vertices pinned to their targets,
-    free vertices solved from the rotation-augmented Poisson system."""
+    free vertices solved from the rotation-augmented Poisson system.
+
+    ``dense`` (default: auto, V <= 4096) materializes the Laplacian as a
+    dense [V,V] matrix ONCE per solve so every CG iteration is a single
+    MXU matmul instead of two edge scatters — the scatters run on the
+    TPU scalar path and made the solve launch-latency bound at the
+    reference's ~3k-vertex template scale (round-2 measurement:
+    25.3 ms/outer). Above the threshold the edge-scatter matvec keeps
+    memory O(E)."""
     rest = prob.rest
     nv = rest.shape[0]
     free = ~prob.constrained
     edges, w = prob.edges, prob.weights
     i, j = edges[:, 0], edges[:, 1]
+    if dense is None:
+        dense = nv <= 4096
 
     # diagonal (Jacobi) preconditioner of the free-free Laplacian block
     deg = (jnp.zeros(nv).at[i].add(w).at[j].add(w))
     dinv = jnp.where(free, 1.0 / jnp.maximum(deg, 1e-9), 1.0)
+
+    if dense:
+        Ld = (jnp.zeros((nv, nv)).at[i, j].add(-w).at[j, i].add(-w)
+              .at[jnp.arange(nv), jnp.arange(nv)].add(deg))
+        fm = free.astype(Ld.dtype)[:, None]
+        hi = jax.lax.Precision.HIGHEST
+
+        def full_L(x):
+            return jnp.matmul(Ld, x, precision=hi)
+
+        def mv(x):
+            return full_L(x * fm) * fm
+    else:
+        def full_L(x):
+            return _laplacian_matvec(x, edges, w,
+                                     jnp.ones_like(free))
+
+        def mv(x):
+            return _laplacian_matvec(
+                jnp.where(free[:, None], x, 0.0), edges, w, free)
 
     p = jnp.where(prob.constrained[:, None], prob.targets, rest)
 
@@ -280,13 +311,9 @@ def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
         rot_gd = w[:, None] * jnp.einsum("eab,eb->ea", Rij, gd)
         b = jnp.zeros_like(p).at[i].add(rot_gd).at[j].add(-rot_gd)
         # move constrained contribution to the rhs
-        b = b - _laplacian_matvec(
-            jnp.where(prob.constrained[:, None], p, 0.0), edges, w,
-            jnp.ones_like(free))
+        b = b - full_L(jnp.where(prob.constrained[:, None], p, 0.0))
         b = jnp.where(free[:, None], b, 0.0)
 
-        mv = lambda x: _laplacian_matvec(
-            jnp.where(free[:, None], x, 0.0), edges, w, free)
         pre = lambda r: dinv[:, None] * r
         x0 = jnp.where(free[:, None], p, 0.0)
         x = _cg(mv, b, x0, cg_iters, tol, pre)

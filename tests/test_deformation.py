@@ -142,3 +142,23 @@ def _sphere_to_scan_rms(pts, scale):
     # implicit ellipsoid distance proxy: | |p/scale| - 1 | * mean(scale)
     q = pts / scale
     return float(np.sqrt(np.mean((np.linalg.norm(q, axis=1) - 1.0) ** 2)))
+
+
+def test_arap_dense_matches_sparse(sphere):
+    """The dense-Laplacian CG path (one MXU matmul per iteration) is a
+    drop-in numerical match for the edge-scatter matvec path."""
+    v, f = sphere
+    edges = D.mesh_edges(f)
+    w = D.cotangent_weights(v, f, edges)
+    rng = np.random.default_rng(3)
+    sidx = D.uniform_sampling(v)
+    constrained = np.zeros(len(v), bool)
+    constrained[sidx] = True
+    targets = v.copy()
+    targets[sidx] += rng.normal(size=(len(sidx), 3)).astype(np.float32) * 0.03
+    prob = D.ARAPProblem(jnp.asarray(v), jnp.asarray(edges), jnp.asarray(w),
+                         jnp.asarray(constrained), jnp.asarray(targets))
+    out_dense = np.asarray(D.arap_solve(prob, outer_iters=3, dense=True))
+    out_sparse = np.asarray(D.arap_solve(prob, outer_iters=3, dense=False))
+    np.testing.assert_allclose(out_dense, out_sparse, atol=2e-4)
+    assert not np.allclose(out_dense, v)          # it actually moved
