@@ -215,6 +215,33 @@ def projection_jacobians(K, rvec, tvec, X, uv):
     return r, Jc, Jp
 
 
+def inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det). Purely elementwise
+    so XLA fuses it — jnp.linalg.inv lowers batched small matrices to a
+    general LU path that runs far off the TPU's vector units. Used for the
+    damped SPD point blocks (det > 0 by construction)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                              jnp.where(det < 0, -1e-30, 1e-30), det)
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
 def _grouped_schur_terms(K, rvec, tvec, points, cam_of, uv, mask, lam,
                          num_cams: int):
     """Scatter-free Schur-term assembly in the per-point grouped layout.
@@ -247,7 +274,7 @@ def _grouped_schur_terms(K, rvec, tvec, points, cam_of, uv, mask, lam,
     # r [p,M,2], Jc [p,M,2,6], Jp [p,M,2,3]
 
     Hpp = jnp.einsum("pmai,pmaj->pij", Jp, Jp) + lam * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp)
+    Hpp_inv = inv3x3(Hpp)
     bp = -jnp.einsum("pmai,pma->pi", Jp, r)
     W = jnp.einsum("pmai,pmaj->pmij", Jc, Jp)              # [p,M,6,3]
     Y = jnp.einsum("pmij,pjk->pmik", W, Hpp_inv)           # [p,M,6,3]

@@ -162,3 +162,30 @@ def test_arap_dense_matches_sparse(sphere):
     out_sparse = np.asarray(D.arap_solve(prob, outer_iters=3, dense=False))
     np.testing.assert_allclose(out_dense, out_sparse, atol=2e-4)
     assert not np.allclose(out_dense, v)          # it actually moved
+
+
+def test_polar_rotation_matches_svd():
+    """Newton polar iteration == SVD-derived V U^T across random
+    well-conditioned blocks; degenerate blocks fall back to identity."""
+    rng = np.random.default_rng(7)
+    # S = R1 diag(s) R2^T with cond(S) up to 200 and det > 0 — the regime
+    # one-ring edge covariances live in (degenerate blocks are gated to
+    # identity and tested separately below)
+    q1, _ = np.linalg.qr(rng.normal(size=(128, 3, 3)))
+    q2, _ = np.linalg.qr(rng.normal(size=(128, 3, 3)))
+    q1[np.linalg.det(q1) < 0, :, 0] *= -1
+    q2[np.linalg.det(q2) < 0, :, 0] *= -1
+    s = rng.uniform(0.01, 2.0, size=(128, 3))
+    S = np.einsum("nij,nj,nkj->nik", q1, s, q2).astype(np.float32)
+    R = np.asarray(D._polar_rotation(jnp.asarray(S)))
+    U, _, Vt = np.linalg.svd(S)
+    Rref = np.einsum("nji,nkj->nik", Vt, U)   # V U^T
+    np.testing.assert_allclose(R, Rref, atol=2e-4)
+    # orthonormal, det +1
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), R.shape),
+        atol=1e-4)
+    assert np.all(np.linalg.det(R) > 0.99)
+    # degenerate block -> identity
+    Rz = np.asarray(D._polar_rotation(jnp.zeros((1, 3, 3))))
+    np.testing.assert_allclose(Rz[0], np.eye(3), atol=1e-6)
