@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..solvers.deformation import fit_rotation
+
 
 class ARAPBlockProblem(NamedTuple):
     """All arrays carry a leading device axis D (shard along 'views')."""
@@ -173,13 +175,9 @@ def _solve_blocks_impl(prob: ARAPBlockProblem, *, mesh: Mesh,
             pd = pe[ei] - pe[ej]
             contrib = w[:, None, None] * gd[:, :, None] * pd[:, None, :]
             S = edge_sum(contrib, contrib)
-            U, _, Vt = jnp.linalg.svd(S)
-            det = jnp.linalg.det(jnp.einsum(
-                "nij,njk->nik", jnp.swapaxes(Vt, 1, 2),
-                jnp.swapaxes(U, 1, 2)))
-            Dg = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det],
-                           -1)
-            R = jnp.einsum("nji,nj,nkj->nik", Vt, Dg, U)
+            # SAME rotation-fitting helper as the single-device solver —
+            # the solver family must share one math policy (round-2 verdict)
+            R = fit_rotation(S)
 
             # global step rhs: averaged endpoint rotations on rest edges
             Re = ext(R.reshape(B, 9)).reshape(-1, 3, 3)

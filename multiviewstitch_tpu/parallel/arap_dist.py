@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..solvers.deformation import ARAPProblem
+from ..solvers.deformation import ARAPProblem, fit_rotation
 
 
 def pad_edges(edges: np.ndarray, weights: np.ndarray, n_devices: int):
@@ -79,12 +79,9 @@ def arap_solve_sharded(prob: ARAPProblem, *, mesh: Mesh,
             contrib = w[:, None, None] * gd[:, :, None] * pd[:, None, :]
             S = jnp.zeros((nv, 3, 3)).at[i].add(contrib).at[j].add(contrib)
             S = jax.lax.psum(S, "views")
-            U, _, Vt = jnp.linalg.svd(S)
-            det = jnp.linalg.det(jnp.einsum(
-                "nij,njk->nik", jnp.swapaxes(Vt, 1, 2),
-                jnp.swapaxes(U, 1, 2)))
-            D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
-            R = jnp.einsum("nji,nj,nkj->nik", Vt, D, U)
+            # SAME rotation-fitting helper as the single-device solver —
+            # the solver family must share one math policy (round-2 verdict)
+            R = fit_rotation(S)
 
             # global: rhs from rotated rest edges
             Rij = 0.5 * (R[i] + R[j])

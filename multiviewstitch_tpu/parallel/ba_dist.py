@@ -132,22 +132,87 @@ def reprojection_rmse_blocks(prob: BAPointBlocks, st: BAState):
     return jnp.sqrt(e.sum() / (2 * n))
 
 
+@partial(jax.jit, static_argnames=("mesh", "iters", "num_cams"))
+def _solve_ba_sharded_device(prob: BAPointBlocks, st: BAState, lam0, *,
+                             mesh: Mesh, iters: int, num_cams: int):
+    """The ENTIRE LM loop as one shard_map program: per iteration the
+    partial camera system psums across point shards, the reduced solve and
+    damping control replicate, and point updates stay local. One dispatch
+    per solve (round-2 verdict: the host accept/reject loop cost two ~25 ms
+    tunnel syncs per 6.8 ms step)."""
+
+    def shard_fn(K, cam_of, uv, mask, fixed, rvec, tvec, points, lam0):
+        def rmse_local(rvec, tvec, points):
+            def one(pt, c, uv1, m):
+                r = _residual_one(K, rvec[c], tvec[c], pt, uv1)
+                return jnp.where(m, (r ** 2).sum(), 0.0)
+            e = jax.vmap(lambda p, cs, us, ms: jax.vmap(
+                lambda c, u, m: one(p, c, u, m))(cs, us, ms))(
+                points, cam_of, uv, mask)
+            ssum = jax.lax.psum(e.sum(), "views")
+            n = jax.lax.psum(mask.sum(), "views")
+            return jnp.sqrt(ssum / (2 * jnp.maximum(n, 1)))
+
+        def step(rvec, tvec, points, lam):
+            S, b, Hpp_inv, W, bp, oh = _point_block_terms(
+                K, rvec, tvec, points, cam_of, uv, mask, lam)
+            S = jax.lax.psum(S, "views")
+            b = jax.lax.psum(b, "views")
+            S = S + lam * jnp.eye(6)[None, None] * jnp.eye(num_cams)[
+                :, :, None, None]
+            ffree = (~fixed).astype(S.dtype)
+            S = S * ffree[:, None, None, None] * ffree[None, :, None, None]
+            S = S.at[jnp.arange(num_cams), jnp.arange(num_cams)].add(
+                jnp.eye(6) * fixed[:, None, None])
+            b = b * ffree[:, None]
+            Sd = S.transpose(0, 2, 1, 3).reshape(num_cams * 6, num_cams * 6)
+            dc = jnp.linalg.solve(Sd + 1e-9 * jnp.eye(num_cams * 6),
+                                  b.reshape(-1)).reshape(num_cams, 6)
+            dc = dc * ffree[:, None]
+            from ..solvers.ba import back_substitute_points
+            dp = back_substitute_points(W, Hpp_inv, bp, oh, dc)
+            return rvec + dc[:, :3], tvec + dc[:, 3:], points + dp
+
+        def body(carry):
+            rvec, tvec, points, best, lam, it = carry
+            rv2, tv2, pt2 = step(rvec, tvec, points, lam)
+            err = rmse_local(rv2, tv2, pt2)
+            acc = err < best
+            rvec = jnp.where(acc, rv2, rvec)
+            tvec = jnp.where(acc, tv2, tvec)
+            points = jnp.where(acc, pt2, points)
+            best = jnp.where(acc, err, best)
+            lam = jnp.where(acc, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e3))
+            return rvec, tvec, points, best, lam, it + 1
+
+        def cond(carry):
+            *_, lam, it = carry
+            return (it < iters) & (lam < 1e3)
+
+        best0 = rmse_local(rvec, tvec, points)
+        rvec, tvec, points, best, _, _ = jax.lax.while_loop(
+            cond, body, (rvec, tvec, points, best0, lam0, jnp.int32(0)))
+        return rvec, tvec, points, best
+
+    pspec = P("views")
+    rspec = P()
+    rvec, tvec, points, best = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rspec, pspec, pspec, pspec, rspec, rspec, rspec, pspec,
+                  rspec),
+        out_specs=(rspec, rspec, pspec, rspec),
+    )(prob.K, prob.cam_of, prob.uv, prob.mask, prob.fixed_cams,
+      st.rvec, st.tvec, st.points, jnp.asarray(lam0, jnp.float32))
+    return BAState(rvec, tvec, points), best
+
+
 def solve_ba_sharded(prob: BAPointBlocks, st: BAState, mesh: Mesh, *,
                      iters: int = 20, lam0: float = 1e-3
                      ) -> Tuple[BAState, float]:
-    """LM loop around the sharded step (host-controlled damping)."""
+    """Sharded LM solve: one dispatch, damping control on device; the
+    single host sync is the final RMSE fetch."""
     num_cams = st.rvec.shape[0]
-    lam = lam0
-    best = float(reprojection_rmse_blocks(prob, st))
-    for _ in range(iters):
-        cand = gn_step_sharded(prob, st, jnp.asarray(lam, jnp.float32),
-                               mesh=mesh, num_cams=num_cams)
-        err = float(reprojection_rmse_blocks(prob, cand))
-        if err < best:
-            st, best = cand, err
-            lam = max(lam * 0.5, 1e-7)
-        else:
-            lam = min(lam * 4.0, 1e3)
-        if lam >= 1e3:
-            break
-    return st, best
+    st, best = _solve_ba_sharded_device(prob, st, lam0, mesh=mesh,
+                                        iters=iters, num_cams=num_cams)
+    return st, float(best)

@@ -24,10 +24,14 @@ Formulation (textbook BA, TPU-shaped):
     The point blocks H_pp [P,3,3] invert batched; the reduced system
     (6C x 6C, small) solves dense, or sharded with a psum in
     parallel/ba_dist.py which reuses the same grouped assembly.
-All shapes static; masks carry validity. Assembly uses the capped
-per-point observation lists [P, max_obs_per_point]; observations beyond
-the cap are kept in the flat arrays (and in ``residuals``) but do not
-contribute to the normal equations.
+All shapes static; masks carry validity. Assembly uses the per-point
+observation lists [P, max_obs_per_point]; ``make_problem`` auto-sizes the
+capacity to the true per-point maximum by default so the gradient is EXACT
+(round-2 advisor: a silent cap biases the fixed point), and warns if an
+explicit smaller cap drops observations. To mask outliers after
+construction use ``apply_mask`` (keeps the flat mask and the grouped
+pt_obs_mask consistent so the optimizer and the RMSE agree on the
+observation set).
 """
 
 from __future__ import annotations
@@ -103,13 +107,32 @@ def _group_ranks(group_of: np.ndarray, capacity: int):
     return rank, rank < capacity
 
 
-def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=16,
+def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=None,
                  fixed_cams=None, n_cams=None) -> BAProblem:
-    """Host-side assembly of the static problem structure."""
+    """Host-side assembly of the static problem structure.
+
+    ``max_obs_per_point=None`` (default) sizes the grouped layout to the
+    TRUE per-point maximum so no observation is dropped and the assembled
+    gradient is exact. An explicit smaller cap trades memory for a biased
+    fixed point on over-observed tracks — it warns when it drops
+    observations (round-2 advisor finding)."""
+    import warnings
     cam_idx = np.asarray(cam_idx, np.int32)
     pt_idx = np.asarray(pt_idx, np.int32)
     uv = np.asarray(uv, np.float32)
     O = len(cam_idx)
+    counts = np.bincount(pt_idx, minlength=n_points) if O else \
+        np.zeros(n_points, np.int64)
+    true_max = max(int(counts.max(initial=0)), 1)
+    if max_obs_per_point is None:
+        max_obs_per_point = true_max
+    elif max_obs_per_point < true_max:
+        dropped = int(np.maximum(counts - max_obs_per_point, 0).sum())
+        warnings.warn(
+            f"make_problem: max_obs_per_point={max_obs_per_point} drops "
+            f"{dropped} of {O} observations from the normal equations "
+            f"(true per-point max {true_max}); the optimum will be biased "
+            "on over-observed tracks", stacklevel=2)
     pt_obs = np.zeros((n_points, max_obs_per_point), np.int32)
     pt_obs_mask = np.zeros((n_points, max_obs_per_point), bool)
     # vectorized group-by-point with per-group capacity: stable sort keeps
@@ -136,6 +159,19 @@ def make_problem(K, cam_idx, pt_idx, uv, n_points, max_obs_per_point=16,
                      jnp.ones(O, bool), jnp.asarray(pt_obs),
                      jnp.asarray(pt_obs_mask), jnp.asarray(fc),
                      jnp.asarray(cam_of), jnp.asarray(uv_g))
+
+
+def apply_mask(prob: BAProblem, keep) -> BAProblem:
+    """Disable observations where ``keep`` [O] is False, CONSISTENTLY: both
+    the flat mask (residuals / reprojection_rmse) and the grouped
+    pt_obs_mask (normal-equation assembly in gn_step) are updated, so the
+    optimizer and the LM accept test see the same observation set. Call
+    this instead of ``prob._replace(mask=...)`` (round-2 advisor: a bare
+    mask replace left the optimizer fitting the masked observations)."""
+    keep = jnp.asarray(keep, bool)
+    new_mask = prob.mask & keep
+    grouped = prob.pt_obs_mask & new_mask[prob.pt_obs]
+    return prob._replace(mask=new_mask, pt_obs_mask=grouped)
 
 
 def _residual_one(K, rvec, tvec, point, uv):
@@ -308,12 +344,12 @@ def back_substitute_points(W, Hpp_inv, bp, oh, delta_c):
     return jnp.einsum("pij,pj->pi", Hpp_inv, bp - WTdc.sum(1))
 
 
-@partial(jax.jit, static_argnames=("num_cams", "num_points"))
-def gn_step(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
-            num_cams: int, num_points: int
-            ) -> Tuple[BAState, jnp.ndarray]:
-    """One damped GN step via the Schur complement. Returns (new state,
-    step norm for LM control)."""
+def _gn_step_impl(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
+                  num_cams: int, num_points: int
+                  ) -> Tuple[BAState, jnp.ndarray]:
+    """One damped GN step via the Schur complement (traceable body —
+    called from the jitted gn_step AND from inside solve_ba's on-device
+    LM while_loop). Returns (new state, step norm for LM control)."""
     S, b_s, Hpp_inv, W, bp, oh = _grouped_schur_terms(
         prob.K, st.rvec, st.tvec, st.points, prob.cam_of, prob.uv_g,
         prob.pt_obs_mask, lam, num_cams)
@@ -344,25 +380,51 @@ def gn_step(prob: BAProblem, st: BAState, lam: jnp.ndarray, *,
     return new, jnp.sqrt((delta_c ** 2).sum() + (delta_p ** 2).sum())
 
 
+gn_step = partial(jax.jit, static_argnames=("num_cams", "num_points"))(
+    _gn_step_impl)
+
+
+@partial(jax.jit, static_argnames=("iters", "num_cams", "num_points"))
+def _solve_ba_device(prob: BAProblem, st: BAState, lam0, *, iters: int,
+                     num_cams: int, num_points: int):
+    """The whole LM loop as ONE device program: accept/reject damping is
+    pure arithmetic, so it lives in a lax.while_loop carry instead of a
+    host loop (round-2 verdict: float(rmse) per iteration cost two ~25 ms
+    tunnel round trips against a 6.8 ms GN step)."""
+
+    def body(carry):
+        st, best, lam, it = carry
+        cand, _ = _gn_step_impl(prob, st, lam, num_cams=num_cams,
+                                num_points=num_points)
+        err = reprojection_rmse(prob, cand)
+        acc = err < best
+        st = jax.tree_util.tree_map(
+            lambda c, s: jnp.where(acc, c, s), cand, st)
+        best = jnp.where(acc, err, best)
+        lam = jnp.where(acc, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e3))
+        return st, best, lam, it + 1
+
+    def cond(carry):
+        _, _, lam, it = carry
+        return (it < iters) & (lam < 1e3)
+
+    best0 = reprojection_rmse(prob, st)
+    st, best, _, _ = jax.lax.while_loop(
+        cond, body, (st, best0, jnp.asarray(lam0, jnp.float32), 0))
+    return st, best
+
+
 def solve_ba(prob: BAProblem, st: BAState, *, iters: int = 20,
              lam0: float = 1e-3, verbose: bool = False
              ) -> Tuple[BAState, float]:
-    """LM loop with accept/reject damping control (host loop, jitted steps)."""
+    """LM solve: one dispatch, damping control on device. The single host
+    sync is the final RMSE fetch."""
     num_cams = st.rvec.shape[0]
     num_points = st.points.shape[0]
-    lam = lam0
-    best = float(reprojection_rmse(prob, st))
-    for it in range(iters):
-        cand, _ = gn_step(prob, st, jnp.asarray(lam, jnp.float32),
-                          num_cams=num_cams, num_points=num_points)
-        err = float(reprojection_rmse(prob, cand))
-        if err < best:
-            st, best = cand, err
-            lam = max(lam * 0.5, 1e-7)
-        else:
-            lam = min(lam * 4.0, 1e3)
-        if verbose:
-            print(f"  BA iter {it}: rmse {best:.4f} (lam {lam:.1e})")
-        if lam >= 1e3:
-            break
+    st, best = _solve_ba_device(prob, st, lam0, iters=iters,
+                                num_cams=num_cams, num_points=num_points)
+    best = float(best)
+    if verbose:
+        print(f"  BA: rmse {best:.4f} after <= {iters} LM iters")
     return st, best

@@ -221,42 +221,83 @@ def _det3(A):
                               A[..., 1, 1] * A[..., 2, 0]))
 
 
-def _polar_rotation(S, iters: int = 8):
-    """Orthogonal polar factor of S^T (the ARAP rotation V U^T for
-    S = U Sigma V^T) by determinant-scaled Newton iteration
-    X <- (g X + g^-1 X^-T)/2, g = |det X|^(-1/3) — batched closed-form
-    3x3 inverses, all elementwise VPU work. Replaces jnp.linalg.svd, which
-    lowers to an iterative kernel measured at ~17 ms for 3k blocks on v5e
-    (the entire rest of an ARAP outer iteration is ~2 ms). Degenerate or
-    reflective blocks (normalized det <= 1e-6, where the SVD route would
-    flip the smallest singular direction) fall back to identity — they only
-    arise from collapsed one-ring neighborhoods."""
-    from .ba import inv3x3
-    X0 = jnp.swapaxes(S, -1, -2)
-    nrm = jnp.sqrt(jnp.maximum(
-        jnp.sum(X0 * X0, axis=(-2, -1), keepdims=True), 1e-30))
-    X0 = X0 / nrm
-    ok = _det3(X0) > 1e-6
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), X0.shape)
-    X = jnp.where(ok[..., None, None], X0, eye)
-    for _ in range(iters):
-        d = jnp.abs(_det3(X))
-        g = jnp.maximum(d, 1e-12) ** (-1.0 / 3.0)
-        Xit = jnp.swapaxes(inv3x3(X), -1, -2)
-        X = 0.5 * (g[..., None, None] * X + (1.0 / g)[..., None, None] * Xit)
-    return jnp.where(ok[..., None, None], X, eye)
+def fit_rotation(S, squarings: int = 7):
+    """Nearest proper rotation R = argmax_R tr(R S) for batched 3x3
+    covariances S [...,3,3] — the ARAP local step (R = V diag(1,1,det) U^T
+    for S = U Sigma V^T), WITHOUT an SVD.
+
+    Method: Horn's quaternion form (tr(R S) = q^T K(S^T) q for unit
+    quaternion q), dominant eigenvector of the symmetric 4x4 K by a shifted
+    squared power iteration: B = (K + sqrt(3)||K||-shift) normalized, then
+    B <- B^2 seven times (effective power 128); the dominant column (argmax
+    diagonal of the rank-1 limit, selected by one-hot matmul) is q. All
+    batched 4x4 matmuls + elementwise work — MXU/VPU friendly, no iterative
+    LAPACK kernel (jnp.linalg.svd measured ~17 ms for 3k blocks on v5e; the
+    rest of an ARAP outer iteration is ~2 ms).
+
+    Unlike the det-gated Newton-polar iteration this is CORRECT on rank-2
+    (planar one-ring) and reflective (det<0) covariances: the quaternion
+    optimum IS the SVD answer with the det-sign fix (round-2 advisor
+    finding; validated against the SVD oracle in tests/test_deformation.py).
+    S == 0 (fro norm < 1e-20) returns identity — any rotation is optimal.
+
+    Shared by all three ARAP paths (this module, parallel/arap_dist.py,
+    parallel/arap_blocks.py) so sharded == unsharded holds exactly.
+    """
+    # build K from A = S^T (tr(R A^T) = q^T K(A) q), batched
+    A = jnp.swapaxes(S, -1, -2)
+    fro = jnp.sqrt(jnp.maximum(
+        jnp.sum(S * S, axis=(-2, -1), keepdims=True), 1e-40))
+    A = A / fro
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    row0 = jnp.stack([a00 + a11 + a22, a21 - a12, a02 - a20, a10 - a01], -1)
+    row1 = jnp.stack([a21 - a12, a00 - a11 - a22, a01 + a10, a02 + a20], -1)
+    row2 = jnp.stack([a02 - a20, a01 + a10, a11 - a00 - a22, a12 + a21], -1)
+    row3 = jnp.stack([a10 - a01, a02 + a20, a12 + a21, a22 - a00 - a11], -1)
+    K = jnp.stack([row0, row1, row2, row3], -2)           # [...,4,4]
+
+    # shift makes K PD (|lambda| <= sig1+sig2+sig3 <= sqrt(3)||A||_F = sqrt3)
+    eye4 = jnp.eye(4, dtype=S.dtype)
+    B = K + (jnp.sqrt(3.0) * 1.0001) * eye4
+    hi = jax.lax.Precision.HIGHEST
+    for _ in range(squarings):
+        B = B / jnp.sqrt(jnp.maximum(
+            jnp.sum(B * B, axis=(-2, -1), keepdims=True), 1e-40))
+        B = jnp.matmul(B, B, precision=hi)
+    # dominant eigenvector = largest column of the rank-1 limit; pick by
+    # argmax diagonal (diag_i -> q_i^2, max entry >= 1/4) via one-hot
+    diag = jnp.diagonal(B, axis1=-2, axis2=-1)            # [...,4]
+    sel = (jnp.argmax(diag, axis=-1)[..., None] ==
+           jnp.arange(4)).astype(S.dtype)
+    q = jnp.einsum("...ij,...j->...i", B, sel)
+    q = q / jnp.sqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-40))
+
+    w_, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z),
+                   2 * (x * z + w_ * y)], -1),
+        jnp.stack([2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w_ * x)], -1),
+        jnp.stack([2 * (x * z - w_ * y), 2 * (y * z + w_ * x),
+                   1 - 2 * (x * x + y * y)], -1)], -2)
+    # S ~ 0: any rotation optimal -> identity (and guards the normalize)
+    degenerate = fro[..., 0, 0] < 1e-18
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), R.shape)
+    return jnp.where(degenerate[..., None, None], eye3, R)
 
 
 def _fit_rotations(p, q, edges, w, nv):
     """Per-vertex rotation best aligning rest edge vectors to current ones:
-    R_i = polar(S_i), S_i = sum_j w_ij (g_i-g_j)(p_i-p_j)^T."""
+    R_i = argmax tr(R S_i), S_i = sum_j w_ij (g_i-g_j)(p_i-p_j)^T."""
     i, j = edges[:, 0], edges[:, 1]
     gd = p[i] - p[j]                         # rest
     pd = q[i] - q[j]                         # deformed
     contrib = w[:, None, None] * gd[:, :, None] * pd[:, None, :]
     S = jnp.zeros((nv, 3, 3)).at[i].add(contrib).at[j].add(contrib)
-    # R = V U^T maps rest -> deformed
-    return _polar_rotation(S)
+    # R maps rest -> deformed
+    return fit_rotation(S)
 
 
 def _cg(matvec, b, x0, iters: int, tol: float, precond):
@@ -291,13 +332,16 @@ def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
     Deformation.cpp:393-398): constrained vertices pinned to their targets,
     free vertices solved from the rotation-augmented Poisson system.
 
-    ``dense`` (default: auto, V <= 4096) materializes the Laplacian as a
-    dense [V,V] matrix ONCE per solve so every CG iteration is a single
-    MXU matmul instead of two edge scatters — the scatters run on the
-    TPU scalar path and made the solve launch-latency bound at the
-    reference's ~3k-vertex template scale (round-2 measurement:
-    25.3 ms/outer). Above the threshold the edge-scatter matvec keeps
-    memory O(E)."""
+    ``dense`` (default: auto, V <= 4096) solves the global step DIRECTLY:
+    the free-free Laplacian is constant across all outer iterations (and
+    across deform passes — the weights never change), so it is materialized
+    and Cholesky-factorized ONCE per solve and each outer iteration is two
+    triangular solves. This is CGAL's own preprocess()-then-deform strategy
+    (Deformation.cpp:393-398) and it is MXU-shaped (blocked Cholesky /
+    triangular solves), unlike ~60 sequential CG matvecs per outer which
+    made the solve launch-latency bound at the reference's ~3k-vertex
+    template scale (round-2: 21.3 ms/outer vs 9.8 ms on CPU). Above the
+    threshold the edge-scatter CG keeps memory O(E)."""
     rest = prob.rest
     nv = rest.shape[0]
     free = ~prob.constrained
@@ -306,22 +350,36 @@ def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
     if dense is None:
         dense = nv <= 4096
 
-    # diagonal (Jacobi) preconditioner of the free-free Laplacian block
     deg = (jnp.zeros(nv).at[i].add(w).at[j].add(w))
-    dinv = jnp.where(free, 1.0 / jnp.maximum(deg, 1e-9), 1.0)
 
     if dense:
+        # A = free-masked Laplacian + identity rows on constrained verts:
+        # solving A x = [b_f; p_c] pins constrained rows to their targets
+        # and solves the free block exactly. SPD as long as every free
+        # region touches a constraint (the control set covers the mesh);
+        # tiny diagonal jitter guards float rank.
+        fm = free.astype(jnp.float32)
         Ld = (jnp.zeros((nv, nv)).at[i, j].add(-w).at[j, i].add(-w)
               .at[jnp.arange(nv), jnp.arange(nv)].add(deg))
-        fm = free.astype(Ld.dtype)[:, None]
         hi = jax.lax.Precision.HIGHEST
+        A = Ld * (fm[:, None] * fm[None, :])
+        jitter = 1e-6 * jnp.mean(deg)
+        A = A + jnp.diag((1.0 - fm) + fm * jitter)
+        chol = jax.lax.linalg.cholesky(A)
 
         def full_L(x):
             return jnp.matmul(Ld, x, precision=hi)
 
-        def mv(x):
-            return full_L(x * fm) * fm
+        def global_solve(b, p):
+            rhs = jnp.where(free[:, None], b, p)
+            y = jax.lax.linalg.triangular_solve(
+                chol, rhs, left_side=True, lower=True)
+            return jax.lax.linalg.triangular_solve(
+                chol, y, left_side=True, lower=True, transpose_a=True)
     else:
+        # diagonal (Jacobi) preconditioner of the free-free Laplacian block
+        dinv = jnp.where(free, 1.0 / jnp.maximum(deg, 1e-9), 1.0)
+
         def full_L(x):
             return _laplacian_matvec(x, edges, w,
                                      jnp.ones_like(free))
@@ -329,6 +387,12 @@ def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
         def mv(x):
             return _laplacian_matvec(
                 jnp.where(free[:, None], x, 0.0), edges, w, free)
+
+        def global_solve(b, p):
+            pre = lambda r: dinv[:, None] * r
+            x0 = jnp.where(free[:, None], p, 0.0)
+            x = _cg(mv, b, x0, cg_iters, tol, pre)
+            return jnp.where(free[:, None], x, p)
 
     p = jnp.where(prob.constrained[:, None], prob.targets, rest)
 
@@ -342,11 +406,7 @@ def arap_solve(prob: ARAPProblem, *, outer_iters: int = 5,
         # move constrained contribution to the rhs
         b = b - full_L(jnp.where(prob.constrained[:, None], p, 0.0))
         b = jnp.where(free[:, None], b, 0.0)
-
-        pre = lambda r: dinv[:, None] * r
-        x0 = jnp.where(free[:, None], p, 0.0)
-        x = _cg(mv, b, x0, cg_iters, tol, pre)
-        return jnp.where(free[:, None], x, p)
+        return global_solve(b, p)
 
     p = jax.lax.fori_loop(0, outer_iters, outer, p)
     return p

@@ -128,3 +128,53 @@ def test_analytic_jacobians_match_autodiff():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc2), rtol=2e-3,
                                atol=1e-3)
+
+
+def test_make_problem_exact_gradient_no_silent_cap():
+    """Default capacity auto-sizes to the true per-point max (gradient
+    exact); an explicit smaller cap warns and measurably biases the
+    optimum (round-2 advisor medium finding)."""
+    import warnings
+    prob, gt, init = synth_ba_problem(n_cams=6, pose_noise=0.01,
+                                      pt_noise=0.02)
+    # auto-sized: every observation is in the grouped layout
+    assert int(prob.pt_obs_mask.sum()) == int(prob.mask.sum())
+    st, rmse_full = ba.solve_ba(prob, init, iters=25)
+    assert rmse_full < 0.2
+
+    # explicit cap=3 on a 6-cam problem: warns, and converges worse
+    K = np.asarray(prob.K)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        prob_capped = ba.make_problem(
+            K, np.asarray(prob.cam_idx), np.asarray(prob.pt_idx),
+            np.asarray(prob.uv), int(init.points.shape[0]),
+            max_obs_per_point=3, n_cams=6)
+    assert any("drops" in str(w.message) for w in rec)
+    st_c, rmse_capped = ba.solve_ba(prob_capped, init, iters=25)
+    assert rmse_capped > 10 * max(rmse_full, 1e-4)
+
+
+def test_apply_mask_consistent():
+    """apply_mask updates BOTH the flat mask and the grouped pt_obs_mask,
+    so gn_step optimizes exactly the set reprojection_rmse scores
+    (round-2 advisor low finding)."""
+    prob, gt, init = synth_ba_problem(n_cams=6, pose_noise=0.01,
+                                      pt_noise=0.02, seed=3)
+    rng = np.random.default_rng(0)
+    # corrupt 10% of observations, then mask them out
+    uv = np.asarray(prob.uv).copy()
+    bad = rng.random(len(uv)) < 0.10
+    uv[bad] += rng.uniform(30, 80, size=(int(bad.sum()), 2))
+    prob_noisy = ba.make_problem(np.asarray(prob.K), np.asarray(prob.cam_idx),
+                                 np.asarray(prob.pt_idx), uv,
+                                 int(init.points.shape[0]), n_cams=6)
+    masked = ba.apply_mask(prob_noisy, ~bad)
+    assert int(masked.pt_obs_mask.sum()) == int(masked.mask.sum())
+    st, rmse = ba.solve_ba(masked, init, iters=25)
+    assert rmse < 0.2          # outliers fully excluded from the solve
+
+    # bare _replace(mask=...) leaves the optimizer fitting the outliers:
+    inconsistent = prob_noisy._replace(mask=jnp.asarray(~bad))
+    _, rmse_bad = ba.solve_ba(inconsistent, init, iters=25)
+    assert rmse < rmse_bad

@@ -164,28 +164,63 @@ def test_arap_dense_matches_sparse(sphere):
     assert not np.allclose(out_dense, v)          # it actually moved
 
 
-def test_polar_rotation_matches_svd():
-    """Newton polar iteration == SVD-derived V U^T across random
-    well-conditioned blocks; degenerate blocks fall back to identity."""
+def _svd_oracle(S):
+    """R = V diag(1,1,det(V U^T)) U^T for S = U Sigma V^T — the textbook
+    ARAP rotation (argmax tr(R S)) including the det-sign reflection fix."""
+    U, _, Vt = np.linalg.svd(S)
+    V = np.swapaxes(Vt, -1, -2)
+    det = np.linalg.det(np.einsum("...ij,...kj->...ik", V, U))
+    D3 = np.zeros(S.shape)
+    D3[..., 0, 0] = 1.0
+    D3[..., 1, 1] = 1.0
+    D3[..., 2, 2] = det
+    return np.einsum("...ij,...jk,...lk->...il", V, D3, U)
+
+
+def test_fit_rotation_matches_svd():
+    """Horn-quaternion rotation fit == SVD oracle (V diag(1,1,det) U^T)
+    across random blocks, and — unlike the round-2 Newton-polar fallback —
+    on rank-2 (planar one-ring) and reflective (det<0) covariances too
+    (round-2 advisor high-severity finding)."""
     rng = np.random.default_rng(7)
-    # S = R1 diag(s) R2^T with cond(S) up to 200 and det > 0 — the regime
-    # one-ring edge covariances live in (degenerate blocks are gated to
-    # identity and tested separately below)
     q1, _ = np.linalg.qr(rng.normal(size=(128, 3, 3)))
     q2, _ = np.linalg.qr(rng.normal(size=(128, 3, 3)))
     q1[np.linalg.det(q1) < 0, :, 0] *= -1
     q2[np.linalg.det(q2) < 0, :, 0] *= -1
     s = rng.uniform(0.01, 2.0, size=(128, 3))
     S = np.einsum("nij,nj,nkj->nik", q1, s, q2).astype(np.float32)
-    R = np.asarray(D._polar_rotation(jnp.asarray(S)))
-    U, _, Vt = np.linalg.svd(S)
-    Rref = np.einsum("nji,nkj->nik", Vt, U)   # V U^T
-    np.testing.assert_allclose(R, Rref, atol=2e-4)
+    R = np.asarray(D.fit_rotation(jnp.asarray(S)))
+    np.testing.assert_allclose(R, _svd_oracle(S), atol=5e-4)
     # orthonormal, det +1
     np.testing.assert_allclose(
         np.einsum("nij,nkj->nik", R, R), np.broadcast_to(np.eye(3), R.shape),
         atol=1e-4)
     assert np.all(np.linalg.det(R) > 0.99)
-    # degenerate block -> identity
-    Rz = np.asarray(D._polar_rotation(jnp.zeros((1, 3, 3))))
+
+    # rank-2: a flat one-ring rotated 90 deg must recover the rotation
+    ang = np.pi / 2
+    R90 = np.array([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    g = rng.normal(size=(8, 3)).astype(np.float32)
+    g[:, 2] = 0.0
+    d = g @ R90.T
+    S2 = (g.T @ d)[None]                       # sum g_i d_i^T, rank 2
+    Rq = np.asarray(D.fit_rotation(jnp.asarray(S2)))[0]
+    np.testing.assert_allclose(Rq, R90, atol=1e-4)
+
+    # det<0 (reflective covariance): must apply the sign fix, not identity
+    U3, _, Vt3 = np.linalg.svd(rng.normal(size=(3, 3)))
+    Sneg = (U3 @ np.diag([3.0, 1.0, -0.5]) @ Vt3).astype(np.float32)[None]
+    Rn = np.asarray(D.fit_rotation(jnp.asarray(Sneg)))
+    np.testing.assert_allclose(Rn, _svd_oracle(Sneg), atol=5e-4)
+
+    # 180-degree rotation (q_w = 0 — exercises the argmax column pick)
+    R180 = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    g = rng.normal(size=(8, 3)).astype(np.float32)
+    S180 = (g.T @ (g @ R180.T))[None]
+    np.testing.assert_allclose(
+        np.asarray(D.fit_rotation(jnp.asarray(S180)))[0], R180, atol=1e-4)
+
+    # degenerate (zero) block -> identity
+    Rz = np.asarray(D.fit_rotation(jnp.zeros((1, 3, 3))))
     np.testing.assert_allclose(Rz[0], np.eye(3), atol=1e-6)

@@ -107,6 +107,28 @@ def test_gap_filter_sequential_semantics():
     np.testing.assert_array_equal(kept, [True, False, False, True])
 
 
+def test_gap_filter_block_greedy_equals_sequential_oracle():
+    """The chunked (block-greedy) gap filter is bit-identical to the
+    reference's per-match greedy scan (Processor.cpp:711-735), across
+    random sizes incl. non-multiples of the chunk and dense conflicts."""
+    rng = np.random.default_rng(42)
+    for m, g in [(50, 25.0), (64, 9.0), (129, 100.0), (2048, 9.0)]:
+        uv1 = rng.integers(0, 120, size=(m, 2)).astype(np.int32)
+        uv2 = rng.integers(0, 120, size=(m, 2)).astype(np.int32)
+        mask = rng.random(m) < 0.9
+        kept_ref = np.zeros(m, bool)
+        for k in range(m):
+            if not mask[k]:
+                continue
+            d1 = ((uv1 - uv1[k]).astype(np.float64) ** 2).sum(-1)
+            d2 = ((uv2 - uv2[k]).astype(np.float64) ** 2).sum(-1)
+            if not np.any(kept_ref & ((d1 <= g) | (d2 <= g))):
+                kept_ref[k] = True
+        out = np.asarray(gap_filter(jnp.asarray(uv1), jnp.asarray(uv2),
+                                    jnp.asarray(mask), min_gap_sq=g))
+        np.testing.assert_array_equal(out, kept_ref, err_msg=f"m={m} g={g}")
+
+
 def test_margin_mask():
     mm = np.asarray(margin_mask(10, 20, 0.25, 0.25, 0.1, 0.1))
     assert mm[5, 2] == 0 and mm[5, 17] == 0      # horizontal margins
