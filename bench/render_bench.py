@@ -1,0 +1,113 @@
+"""Rasterizer + view-synthesis chip benchmark (round-3 verdict item 4).
+
+Times
+  - render_disparity: one VGA frame of a ~100k-face mesh (the Model2Depth
+    re-render unit, Model2Depth.cpp:118-156)
+  - synthesize_views: 3 virtual views of one VGA RGB frame (GenNewViews,
+    Image3D.cpp:109-222)
+chained on-device (lax.scan with a data dependency), scalar-fetch sync,
+host-round-trip subtracted. Usage: python bench/render_bench.py [--cpu]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax._src import xla_bridge
+            xla_bridge._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mvs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.core.cameras import CameraBatch
+    from multiviewstitch_tpu.ops.rasterizer import render_disparity
+    from multiviewstitch_tpu.ops.view_synth import (synthesize_views,
+                                                    view_angles)
+    from multiviewstitch_tpu.pipeline.fixtures import uv_sphere
+
+    h, w = 480, 640
+    # ~100k-face sphere in front of the camera
+    v, f = uv_sphere(224, 224, radius=0.8)
+    v = v.astype(np.float32)
+    v[:, 2] += 2.5
+    verts = jnp.asarray(v)
+    faces = jnp.asarray(f.astype(np.int32))
+    fmask = jnp.ones(len(f), bool)
+    K = jnp.asarray([[520.0, 0, (w - 1) / 2], [0, 520.0, (h - 1) / 2],
+                     [0, 0, 1]], jnp.float32)
+    cam = CameraBatch(K, jnp.eye(3), jnp.zeros(3), w, h)
+    REPS = args.reps
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(tiny(jnp.float32(1.0)))
+    rt = (time.perf_counter() - t0) / 20
+    print(f"host rt {rt*1e3:.1f} ms", file=sys.stderr)
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        float(out)
+        ts = []
+        for _ in range(3):
+            s = time.perf_counter()
+            float(fn(*a))
+            ts.append(time.perf_counter() - s)
+        return min(ts)
+
+    @jax.jit
+    def render_chain(vv):
+        def body(carry, _):
+            out = render_disparity(carry, faces, fmask, cam,
+                                   height=h, width=w)
+            s = out.disparity.sum()
+            return carry + s * 1e-20, s
+        out, _ = jax.lax.scan(body, vv, None, length=REPS)
+        return jnp.sum(out) * 1e-20
+
+    t_render = (timeit(render_chain, verts) - rt) / REPS
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32))
+    angles = jnp.asarray(view_angles(3, 16.0))
+
+    @jax.jit
+    def synth_chain(im):
+        def body(carry, _):
+            sv = synthesize_views(carry, K, jnp.eye(3), angles)
+            s = sv.images.sum()
+            return carry + s * 1e-20, s
+        out, _ = jax.lax.scan(body, im, None, length=REPS)
+        return jnp.sum(out) * 1e-20
+
+    t_synth = (timeit(synth_chain, img) - rt) / REPS
+
+    out = {"metric": "render_and_viewsynth_ms",
+           "backend": "cpu" if args.cpu else "tpu",
+           "render_ms_per_frame_100k_faces": round(t_render * 1e3, 2),
+           "viewsynth_ms_per_3view_vga": round(t_synth * 1e3, 2)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,18 +133,8 @@ def main():
     def grads_only(fr):
         def one(img):
             img = img / jnp.maximum(jnp.max(jnp.abs(img)), 1e-8)
-            n_glv = 6
-            blur = F.gaussian_blur(img, 1.6)
-            acc = 0.0
-            sig = 1.6
-            for _ in range(n_glv):
-                gx = (jnp.roll(blur, -1, 1) - jnp.roll(blur, 1, 1)) * 0.5
-                gy = (jnp.roll(blur, -1, 0) - jnp.roll(blur, 1, 0)) * 0.5
-                acc = acc + gx.sum() + gy.sum()
-                nxt = sig * (2.0 ** 0.5)
-                blur = F.gaussian_blur(blur, float((nxt**2 - sig**2) ** 0.5))
-                sig = nxt
-            return acc
+            gxa, gya, _ = F._grad_pyramid(img, 3)
+            return gxa.sum() + gya.sum()
         return jax.vmap(one)(fr).sum()
     results["gradient_stacks"] = (
         timeit(chain(grads_only), frames) - rt) / REPS
@@ -158,25 +148,13 @@ def main():
 
     def make_stacks(img):
         img = img / jnp.maximum(jnp.max(jnp.abs(img)), 1e-8)
-        n_glv = 6
-        blur = F.gaussian_blur(img, 1.6)
-        gxl, gyl = [], []
-        sig = 1.6
-        for _ in range(n_glv):
-            gxl.append((jnp.roll(blur, -1, 1) - jnp.roll(blur, 1, 1)) * 0.5)
-            gyl.append((jnp.roll(blur, -1, 0) - jnp.roll(blur, 1, 0)) * 0.5)
-            nxt = sig * (2.0 ** 0.5)
-            blur = F.gaussian_blur(blur, float((nxt**2 - sig**2) ** 0.5))
-            sig = nxt
-        return jnp.stack(gxl), jnp.stack(gyl)
+        return F._grad_pyramid(img, 3)
 
     def orient_only(fr):
         def one(img, uv1, sc1):
-            gx, gy = make_stacks(img)
+            gxa, gya, meta = make_stacks(img)
             lvl = F._grad_level(sc1, 6)
-            a1, a2, r2 = jax.vmap(
-                lambda lv, p, s: F._orientation(gx, gy, lv, p, s))(
-                lvl, uv1, sc1)
+            a1, a2, r2 = F._orientation_batch(gxa, gya, meta, lvl, uv1, sc1)
             return a1.sum() + r2.sum()
         return jax.vmap(one)(fr, uv, scale).sum()
     results["stacks_plus_orientation"] = (
@@ -184,11 +162,9 @@ def main():
 
     def desc_only(fr):
         def one(img, uv1, sc1, an1):
-            gx, gy = make_stacks(img)
+            gxa, gya, meta = make_stacks(img)
             lvl = F._grad_level(sc1, 6)
-            d = jax.vmap(
-                lambda lv, p, s, a: F._descriptor(gx, gy, lv, p, s, a))(
-                lvl, uv1, sc1, an1)
+            d = F._descriptor_batch(gxa, gya, meta, lvl, uv1, sc1, an1)
             return d.sum()
         return jax.vmap(one)(fr, uv, scale, ang).sum()
     results["stacks_plus_descriptor"] = (

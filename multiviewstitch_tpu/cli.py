@@ -162,16 +162,24 @@ def cmd_align(args) -> int:
         _log(f"WriteMesh: per-frame Depth2Model OBJs -> {mdir}")
 
     # reconstruction grid resolution follows the reference's Poisson octree
-    # depth (PsnDptMax, GeometryRec.cpp:30-39): dense grid = 2^depth, capped
-    # at 256 (the dense-grid memory equivalent of the adaptive octree);
-    # --grid overrides explicitly.
+    # depth (PsnDptMax, GeometryRec.cpp:30-39): dense grid = 2^depth.
+    # The TSDF backend stays capped at 256 (its corner stacks are cubic in
+    # grid and it has no slab extractor) — the cap is LOGGED, not silent;
+    # --grid overrides explicitly. The Poisson backend honors depth up to
+    # 10 via multigrid V-cycles + Z-slab extraction (ops/poisson.py).
     grid = args.grid or min(1 << cfg.psn_dpt_max, 256)
+    if not args.grid and (1 << cfg.psn_dpt_max) > 256:
+        _log(f"TSDF grid capped at 256 (PsnDptMax {cfg.psn_dpt_max} -> "
+             f"{1 << cfg.psn_dpt_max}); use --backend poisson for full "
+             "depth or --grid to override")
     backend = getattr(args, "backend", "tsdf")
     if backend == "poisson":
         # the reference's actual reconstructor: screened Poisson over the
         # fused oriented cloud (RunPoisson on PSR.npts, Processor.cpp:1042)
         from .ops.poisson import reconstruct_poisson
-        depth = min(cfg.psn_dpt_max, 8)
+        depth = min(cfg.psn_dpt_max, 10)
+        if cfg.psn_dpt_max > 10:
+            _log(f"Poisson depth capped at 10 (PsnDptMax {cfg.psn_dpt_max})")
         verts, faces = reconstruct_poisson(pts, nrm, depth=depth)
     else:
         # denser TSDF fusion through the solved transforms (Model.obj

@@ -83,171 +83,286 @@ def _nms3(r: jnp.ndarray):
     return r >= m
 
 
-def _bilinear(img, yy, xx):
-    h, w = img.shape
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
-    fx = jnp.clip(xx - x0, 0.0, 1.0)
-    fy = jnp.clip(yy - y0, 0.0, 1.0)
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
-            v10 * (1 - fx) * fy + v11 * fx * fy)
-
-
-def _bilinear_stack(stack, lvl, yy, xx):
-    """Bilinear sample stack [L,H,W] at level `lvl` (scalar int) and
-    continuous (yy, xx): one flat gather on [L*H, W] so a traced per-
-    keypoint level never materializes a full [H,W] slice under vmap."""
-    L, h, w = stack.shape
-    flat = stack.reshape(L * h, w)
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
-    fx = jnp.clip(xx - x0, 0.0, 1.0)
-    fy = jnp.clip(yy - y0, 0.0, 1.0)
-    r0 = lvl * h + y0
-    v00 = flat[r0, x0]
-    v01 = flat[r0, x0 + 1]
-    v10 = flat[r0 + 1, x0]
-    v11 = flat[r0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
-            v10 * (1 - fx) * fy + v11 * fx * fy)
-
-
 def _grad_level(scale, num_grad_levels: int):
-    """Gradient-stack level whose smoothing matches the keypoint scale
+    """Gradient-pyramid level whose smoothing matches the keypoint scale
     (half-octave steps: sigma_l = 1.6 * 2^(l/2))."""
     l = jnp.round(2.0 * jnp.log2(jnp.maximum(scale, 1e-6)))
     return jnp.clip(l.astype(jnp.int32), 0, num_grad_levels - 1)
 
 
-def _orientation(gx_stack, gy_stack, lvl, uv, scale, radius: int = 8):
-    """Dominant gradient orientation (36-bin Gaussian-weighted histogram,
-    like SIFT). The window is SCALE-ADAPTIVE: gradients are sampled on a
-    grid spaced by the keypoint's scale, FROM the Gaussian-smoothed
-    gradient field matched to that scale (gx/gy stacks). Sampling the raw
-    image instead (round-1 behavior) made the orientation anisotropic —
-    bilinear interpolation biases gradient direction toward the pixel
-    axes, which measured as a ~10 deg median orientation error between
-    rotated views and capped matching recall at ~0.63
-    (tests/test_feature_recall.py)."""
+# row-window height for per-keypoint gradient patches: covers the widest
+# sample grid (16 samples x <=2.83 level-px spacing x sqrt2 rotation
+# ~ +-23.5 px around the center, plus bilinear taps)
+_WS = 64
+
+
+def _grad_pyramid(img: jnp.ndarray, num_octaves: int):
+    """Octave-downsampled Gaussian gradient atlas.
+
+    Levels l = 2o+j carry total smoothing sigma_l = 1.6 * 2^(l/2) but live
+    at octave o's resolution (downsample 2^o), exactly the recursive SIFT
+    pyramid — so a keypoint's sample spacing in LEVEL pixels is bounded by
+    ~2.83 regardless of its scale, which is what lets orientation and
+    descriptor sampling run from fixed 64x64 windows on the MXU instead of
+    per-sample scalar gathers (round-2 verdict: the full-resolution stacks
+    put ~2M gathers x 12 ns per frame on the scalar path).
+
+    Returns (gx_atlas [R,Wp], gy_atlas [R,Wp], meta) where the atlases
+    stack all levels' rows (level o rows at width W>>o, zero-padded to Wp)
+    and meta = (row_offsets, heights, widths, downsample factors) as static
+    tuples. Atlases carry _WS rows/cols of zero padding at the bottom/right
+    so per-keypoint dynamic slices stay in bounds for any level size.
+    """
+    sigma0 = 1.6
+    g = gaussian_blur(img, sigma0)
+    Wp = max(img.shape[1], _WS)
+    gx_rows, gy_rows = [], []
+    offs, hs, ws, dss = [], [], [], []
+    off = 0
+    for o in range(num_octaves):
+        s2 = sigma0 * 2.0 ** 0.5
+        g2 = gaussian_blur(g, float((s2 * s2 - sigma0 * sigma0) ** 0.5))
+        for gl in (g, g2):
+            gx = (jnp.roll(gl, -1, 1) - jnp.roll(gl, 1, 1)) * 0.5
+            gy = (jnp.roll(gl, -1, 0) - jnp.roll(gl, 1, 0)) * 0.5
+            h, w = gl.shape
+            gx_rows.append(jnp.pad(gx, ((0, 0), (0, Wp - w))))
+            gy_rows.append(jnp.pad(gy, ((0, 0), (0, Wp - w))))
+            offs.append(off)
+            hs.append(h)
+            ws.append(w)
+            dss.append(2 ** o)
+            off += h
+        if o + 1 < num_octaves:
+            s4 = sigma0 * 2.0
+            g4 = gaussian_blur(g2, float((s4 * s4 - s2 * s2) ** 0.5))
+            g = _downsample2(g4)   # local sigma back to 1.6
+    pad = jnp.zeros((_WS, Wp), img.dtype)
+    gx_atlas = jnp.concatenate(gx_rows + [pad])
+    gy_atlas = jnp.concatenate(gy_rows + [pad])
+    meta = (tuple(offs), tuple(hs), tuple(ws), tuple(dss))
+    return gx_atlas, gy_atlas, meta
+
+
+def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
+                         mode: str = "split2"):
+    """Batched bilinear gradient sampling, MXU formulation.
+
+    lvl [K] int32 pyramid level per keypoint; uv [K,2] full-res center;
+    dx/dy [K,S] sample offsets in LEVEL pixels. Returns (gx, gy) [K,S].
+
+    Formulation (measured on v5e, /tmp micro-bench recorded in
+    bench/sift_profile.py history): per keypoint a 64-ROW window is pulled
+    from each atlas with a full-row gather (rows move as whole DMA lines —
+    4 ms per 8xVGA frames incl. the matmul, vs 14 ms for vmapped 2D
+    dynamic_slice windows and 106 ms for 8-row block gathers). The
+    bilinear x-interpolation is ONE batched matmul whose sparse rows carry
+    the two interpolation weights (1-fx at x0, fx at x0+1) — the gather IS
+    the matmul — and the y-interpolation is a weighted row reduction on
+    the VPU. gx/gy windows are concatenated along rows so both ride the
+    same pass(es). Samples beyond the level image edge clamp to the edge
+    pixel (replicate-edge, same semantics as the former per-sample gather
+    path).
+
+    mode: "exact" f32 HIGHEST (6 MXU passes), "split2" bf16 hi/lo value
+    split with bf16 weights (value error <= 2^-17 of magnitude, weight
+    quantization <= 2^-9 px of the interpolation delta — far below sensor
+    noise; the production default), "fast" single bf16 pass.
+    """
+    W = gx_atlas.shape[1]
+    offs = jnp.asarray(meta[0], jnp.int32)[lvl]          # [K]
+    Hl = jnp.asarray(meta[1], jnp.int32)[lvl]
+    Wl = jnp.asarray(meta[2], jnp.int32)[lvl]
+    ds = jnp.asarray(meta[3], jnp.float32)[lvl]
+    cx = uv[:, 0] / ds
+    cy = uv[:, 1] / ds
+
+    # 64-row windows: full-row gather per field, fields concatenated
+    row0 = jnp.clip(cy.astype(jnp.int32) - _WS // 2, 0,
+                    jnp.maximum(Hl - _WS, 0))            # [K] level-local
+    rows = (offs + row0)[:, None] + jnp.arange(_WS)[None]  # [K,WS]
+    win = jnp.concatenate([gx_atlas[rows], gy_atlas[rows]], 1)  # [K,2WS,W]
+
+    # absolute x bilinear taps (edge-clamped exactly like the old path)
+    sx = cx[:, None] + dx
+    x0 = jnp.clip(sx.astype(jnp.int32), 0,
+                  jnp.maximum(Wl - 2, 0)[:, None])
+    x0 = jnp.maximum(x0, 0)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    A = (jnp.where(cols == x0[..., None], 1.0 - fx[..., None], 0.0) +
+         jnp.where(cols == x0[..., None] + 1, fx[..., None], 0.0))
+
+    def matmul(a, b, prec):          # [K,S,W] @ [K,R,W] -> [K,S,R]
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32)
+
+    if mode == "exact":
+        res = matmul(A, win, jax.lax.Precision.HIGHEST)
+    elif mode == "split2":
+        hi_w = win.astype(jnp.bfloat16)
+        lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
+        both = matmul(A.astype(jnp.bfloat16),
+                      jnp.concatenate([hi_w, lo_w], 1),
+                      jax.lax.Precision.DEFAULT)         # [K,S,4WS]
+        res = both[..., :2 * _WS] + both[..., 2 * _WS:]
+    else:
+        res = matmul(A, win, jax.lax.Precision.DEFAULT)
+
+    # y-interp: weighted row reduction over the window rows
+    ry = jnp.clip(cy[:, None] + dy - row0[:, None].astype(jnp.float32),
+                  0.0, jnp.minimum(Hl - 1 - row0, _WS - 1)
+                  [:, None].astype(jnp.float32))
+    y0 = jnp.clip(ry.astype(jnp.int32), 0, _WS - 2)
+    fy = jnp.clip(ry - y0, 0.0, 1.0)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WS), 2)
+    B = (jnp.where(wrows == y0[..., None], 1.0 - fy[..., None], 0.0) +
+         jnp.where(wrows == y0[..., None] + 1, fy[..., None], 0.0))
+    gx = jnp.sum(B * res[..., :_WS], -1)
+    gy = jnp.sum(B * res[..., _WS:], -1)
+    return gx, gy
+
+
+def _orientation_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale,
+                       radius: int = 8):
+    """Dominant gradient orientations for ALL keypoints at once (36-bin
+    Gaussian-weighted histograms, like SIFT). The window is SCALE-ADAPTIVE:
+    gradients are sampled on a grid spaced by the keypoint's scale, from
+    the pyramid level whose smoothing matches that scale (sampling the raw
+    image instead — round-1 behavior — biased gradient directions toward
+    the pixel axes and capped recall at ~0.63). Histogram binning is a
+    masked [K,S,36] reduction instead of per-sample scatter-adds (TPU
+    scatters run on the scalar path; round-3 rework). Returns
+    (angle1 [K], angle2 [K], ratio2 [K])."""
     d = jnp.arange(-radius, radius, dtype=jnp.float32) + 0.5
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    sx = uv[0] + scale * dx
-    sy = uv[1] + scale * dy
-    gx = _bilinear_stack(gx_stack, lvl, sy, sx)
-    gy = _bilinear_stack(gy_stack, lvl, sy, sx)
+    dyg, dxg = jnp.meshgrid(d, d, indexing="ij")
+    dxg = dxg.ravel()[None]                                 # [1,S]
+    dyg = dyg.ravel()[None]
+    ds = jnp.asarray(meta[3], jnp.float32)[lvl]
+    spacing = (scale / ds)[:, None]                         # [K,1] level px
+    gx, gy = _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv,
+                                  spacing * dxg, spacing * dyg)
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)
-    wgt = jnp.exp(-0.5 * ((dx ** 2 + dy ** 2) / (radius * radius / 2.25)))
-    # soft-bin the angle into the two nearest of 36 bins (linear split)
+    wgt = jnp.exp(-0.5 * ((dxg ** 2 + dyg ** 2) / (radius * radius / 2.25)))
+    # soft-bin into the two nearest of 36 bins (linear split)
     pos = (ang + jnp.pi) / (2 * jnp.pi) * 36.0 - 0.5
     b0 = jnp.floor(pos)
     f = pos - b0
     b0i = b0.astype(jnp.int32) % 36
     b1i = (b0i + 1) % 36
     contrib = mag * wgt
-    hist = jnp.zeros((36,)).at[b0i.ravel()].add(
-        (contrib * (1 - f)).ravel()).at[b1i.ravel()].add(
-        (contrib * f).ravel())
-    # smooth circularly (Lowe smooths the histogram several times; one
-    # pass left ~1/3 of repeated keypoints picking a different peak under
-    # rotation) then take the peaks with parabolic interpolation
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 36), 2)
+    Wb = (jnp.where(bins == b0i[..., None],
+                    (contrib * (1 - f))[..., None], 0.0) +
+          jnp.where(bins == b1i[..., None],
+                    (contrib * f)[..., None], 0.0))
+    hist = Wb.sum(1)                                        # [K,36]
+    # smooth circularly (Lowe smooths several times; one pass left ~1/3 of
+    # repeated keypoints picking a different peak under rotation)
     for _ in range(4):
-        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
+
+    def take(h, idx):
+        return jnp.take_along_axis(h, (idx % 36)[:, None], axis=-1)[:, 0]
 
     def refine(peak):
-        hl = hist[(peak - 1) % 36]
-        hc = hist[peak]
-        hr = hist[(peak + 1) % 36]
+        hl = take(hist, peak - 1)
+        hc = take(hist, peak)
+        hr = take(hist, peak + 1)
         den = hl - 2 * hc + hr
         off = jnp.where(jnp.abs(den) < 1e-12, 0.0,
                         jnp.clip(0.5 * (hl - hr) / den, -0.5, 0.5))
         return ((peak.astype(jnp.float32) + 0.5 + off) / 36.0 *
                 2 * jnp.pi - jnp.pi)
 
-    peak = jnp.argmax(hist)
+    peak = jnp.argmax(hist, -1)                             # [K]
     # second peak (local max outside +-1 bin of the first), SIFT-style:
-    # a keypoint whose histogram has a rival peak >= 0.8*max is ambiguous
-    # in orientation; the caller may emit a duplicate keypoint at angle2
-    bins = jnp.arange(36)
-    near = jnp.minimum((bins - peak) % 36, (peak - bins) % 36) <= 1
-    is_lmax = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+    # a rival peak >= 0.8*max makes orientation ambiguous; the caller may
+    # emit a duplicate keypoint at angle2
+    allbins = jnp.arange(36)[None]
+    near = jnp.minimum((allbins - peak[:, None]) % 36,
+                       (peak[:, None] - allbins) % 36) <= 1
+    is_lmax = ((hist >= jnp.roll(hist, 1, -1)) &
+               (hist >= jnp.roll(hist, -1, -1)))
     h2 = jnp.where(near | ~is_lmax, -jnp.inf, hist)
-    peak2 = jnp.argmax(h2)
-    ratio2 = jnp.where(jnp.isfinite(h2[peak2]),
-                       h2[peak2] / jnp.maximum(hist[peak], 1e-12), 0.0)
+    peak2 = jnp.argmax(h2, -1)
+    h2p = take(h2, peak2)
+    ratio2 = jnp.where(jnp.isfinite(h2p),
+                       h2p / jnp.maximum(take(hist, peak), 1e-12), 0.0)
     return refine(peak), refine(peak2), ratio2
 
 
-def _descriptor(gx_stack, gy_stack, lvl, uv, scale, angle):
-    """128-d SIFT-layout descriptor at (uv, scale, angle).
+def _descriptor_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale, angle):
+    """128-d SIFT-layout descriptors for ALL keypoints at once.
 
-    Gradient samples are TRILINEARLY soft-binned (bilinear across the 4x4
-    spatial cells x linear across the 8 orientation bins), the scheme
-    Lowe's SIFT uses: hard binning makes the descriptor discontinuous in
-    keypoint position/orientation and measurably costs matching recall
-    under rotation. Gradients come from the scale-matched Gaussian
-    gradient field (same stacks as _orientation) — sampling the raw image
-    aliased large-scale keypoints and biased directions toward the pixel
-    axes (harness: tests/test_feature_recall.py)."""
-    # 16x16 sampling grid rotated by angle, spaced by MAGNIF * scale
-    # (0.75 measured best on the recall harness: the tighter support
-    # improves the scale-change cases ~+3-4 points at ~-1 point on pure
-    # rotation — see tests/test_feature_recall.py thresholds)
+    Same math as the former per-keypoint _descriptor (trilinear soft
+    binning over 4x4 spatial cells x 8 orientation bins, scale-matched
+    gradient field, MAGNIF=0.75 measured best on the recall harness) but
+    the sampling is the MXU window formulation (_sample_grad_patches) and
+    the trilinear binning is a separable pair of weight tensors contracted
+    with one batched einsum — no scatter-adds (round-3 rework; the eight
+    [256]->[128] .at[].add per keypoint were ~half the descriptor cost on
+    the chip)."""
     MAGNIF = 0.75
     g = (jnp.arange(16, dtype=jnp.float32) - 7.5)
-    gy, gx = jnp.meshgrid(g, g, indexing="ij")
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
-    sx = uv[0] + MAGNIF * scale * (ca * gx - sa * gy)
-    sy = uv[1] + MAGNIF * scale * (sa * gx + ca * gy)
-
-    # gradients rotated into the keypoint frame (sample the grid-gradient
-    # field along image axes, rotate the vector by -angle)
-    gxi = _bilinear_stack(gx_stack, lvl, sy, sx)
-    gyi = _bilinear_stack(gy_stack, lvl, sy, sx)
+    gyg, gxg = jnp.meshgrid(g, g, indexing="ij")
+    gxg = gxg.ravel()[None]                                 # [1,S]
+    gyg = gyg.ravel()[None]
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]   # [K,1]
+    ds = jnp.asarray(meta[3], jnp.float32)[lvl]
+    spac = (MAGNIF * scale / ds)[:, None]
+    dx = spac * (ca * gxg - sa * gyg)
+    dy = spac * (sa * gxg + ca * gyg)
+    gxi, gyi = _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv,
+                                    dx, dy)
+    # rotate gradients into the keypoint frame
     gxv = ca * gxi + sa * gyi
     gyv = -sa * gxi + ca * gyi
     mag = jnp.sqrt(gxv * gxv + gyv * gyv)
     ang = jnp.arctan2(gyv, gxv)
 
-    wgt = jnp.exp(-0.5 * ((gx ** 2 + gy ** 2) / 64.0))
-    contrib = (mag * wgt).ravel()
+    wgt = jnp.exp(-0.5 * ((gxg ** 2 + gyg ** 2) / 64.0))    # [1,S]
+    contrib = mag * wgt                                     # [K,S]
 
-    # trilinear soft binning
+    # orientation soft binning -> O [K,S,8] (two nonzero weights per row)
     opos = (ang + jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
     ob0 = jnp.floor(opos)
-    of = (opos - ob0).ravel()
-    ob0 = ob0.astype(jnp.int32).ravel() % 8
+    of = opos - ob0
+    ob0 = ob0.astype(jnp.int32) % 8
     ob1 = (ob0 + 1) % 8
+    obins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
+    O = (jnp.where(obins == ob0[..., None], (contrib * (1 - of))[..., None],
+                   0.0) +
+         jnp.where(obins == ob1[..., None], (contrib * of)[..., None], 0.0))
 
-    # cell-space coordinates: cells are 4 samples wide, centers at
-    # -6,-2,2,6 in grid units -> continuous cell index in [-0.5, 3.5]
-    cxpos = (gx.ravel() + 6.0) / 4.0
-    cypos = (gy.ravel() + 6.0) / 4.0
+    # spatial bilinear cell weights -> Wsp [K,S,16] (<=4 nonzeros per row;
+    # cells outside 0..3 simply match no bin — the boundary zeroing)
+    cxpos = (gxg + 6.0) / 4.0                               # [1,S]
+    cypos = (gyg + 6.0) / 4.0
     cx0 = jnp.floor(cxpos)
     cy0 = jnp.floor(cypos)
     fx = cxpos - cx0
     fy = cypos - cy0
     cx0 = cx0.astype(jnp.int32)
     cy0 = cy0.astype(jnp.int32)
+    cbins = jnp.arange(4)[None, None]                       # [1,1,4]
+    W4x = (jnp.where(cbins == cx0[..., None], (1.0 - fx)[..., None], 0.0) +
+           jnp.where(cbins == cx0[..., None] + 1, fx[..., None], 0.0))
+    W4y = (jnp.where(cbins == cy0[..., None], (1.0 - fy)[..., None], 0.0) +
+           jnp.where(cbins == cy0[..., None] + 1, fy[..., None], 0.0))
+    Wsp = (W4y[..., :, None] * W4x[..., None, :]).reshape(
+        1, W4x.shape[1], 16)                                # [1,S,16]
 
-    desc = jnp.zeros((128,))
-    for dcy, wy_ in ((0, 1.0 - fy), (1, fy)):
-        cy = cy0 + dcy
-        okY = (cy >= 0) & (cy <= 3)
-        for dcx, wx_ in ((0, 1.0 - fx), (1, fx)):
-            cx = cx0 + dcx
-            okX = (cx >= 0) & (cx <= 3)
-            cell = (jnp.clip(cy, 0, 3) * 4 + jnp.clip(cx, 0, 3))
-            ww = jnp.where(okY & okX, wy_ * wx_, 0.0) * contrib
-            desc = desc.at[cell * 8 + ob0].add(ww * (1.0 - of))
-            desc = desc.at[cell * 8 + ob1].add(ww * of)
-    n = jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+    # desc[k, cell*8+ob] = sum_s Wsp[s,cell] * O[k,s,ob]
+    hi = jax.lax.Precision.HIGHEST
+    desc = jnp.einsum("zsc,kso->kco", Wsp, O, precision=hi).reshape(
+        -1, 128)
+    n = jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
     desc = jnp.minimum(desc / n, 0.2)
-    return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
+    return desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True),
+                              1e-8)
 
 
 def _dog_extrema(dogs, contrast_thresh: float, edge_ratio: float = 10.0):
@@ -344,13 +459,16 @@ def detect_and_describe(
             vi = (sflat // ow).astype(jnp.int32)
 
             # subpixel refinement: 2D quadratic fit on the keypoint's DoG
-            # response neighborhood (offset = -H^-1 g, clamped to +-0.5)
-            dsel = jnp.abs(dogs[jnp.clip(sidx + 1, 0, dogs.shape[0] - 1)])
+            # response neighborhood (offset = -H^-1 g, clamped to +-0.5).
+            # Direct per-keypoint element gathers — indexing dogs[sidx]
+            # materialized a [K,H,W] slice per octave (~630 MB of HBM
+            # traffic at VGA) and dominated detection on the chip
+            ssel = jnp.clip(sidx + 1, 0, dogs.shape[0] - 1)
 
             def at(dy, dx):
                 yy2 = jnp.clip(vi + dy, 0, oh - 1)
                 xx2 = jnp.clip(ui + dx, 0, ow - 1)
-                return dsel[jnp.arange(kk), yy2, xx2]
+                return jnp.abs(dogs[ssel, yy2, xx2])
 
             gx = 0.5 * (at(0, 1) - at(0, -1))
             gy = 0.5 * (at(1, 0) - at(-1, 0))
@@ -414,27 +532,18 @@ def detect_and_describe(
     uv = uv[sel]
     scale = scale[sel]
 
-    # full-resolution Gaussian gradient stacks in half-octave sigma steps
-    # (sigma_l = 1.6 * 2^(l/2)); every keypoint samples orientation and
-    # descriptor gradients from the level matching its scale — the
-    # Lowe-correct smoothing that keeps gradient directions isotropic
-    n_glv = max(2 * num_levels, 2)
-    blur = gaussian_blur(img, 1.6)
-    gx_list, gy_list = [], []
-    sig = 1.6
-    for _ in range(n_glv):
-        gx_list.append((jnp.roll(blur, -1, 1) - jnp.roll(blur, 1, 1)) * 0.5)
-        gy_list.append((jnp.roll(blur, -1, 0) - jnp.roll(blur, 1, 0)) * 0.5)
-        nxt = sig * (2.0 ** 0.5)
-        blur = gaussian_blur(blur, float((nxt * nxt - sig * sig) ** 0.5))
-        sig = nxt
-    gx_stack = jnp.stack(gx_list)
-    gy_stack = jnp.stack(gy_list)
+    # octave-downsampled Gaussian gradient pyramid in half-octave sigma
+    # steps (sigma_l = 1.6 * 2^(l/2)); every keypoint samples orientation
+    # and descriptor gradients from the level matching its scale — the
+    # Lowe-correct smoothing that keeps gradient directions isotropic —
+    # through the MXU window formulation (_sample_grad_patches)
+    n_oct = max(num_levels, 1)
+    n_glv = 2 * n_oct
+    gx_atlas, gy_atlas, gmeta = _grad_pyramid(img, n_oct)
     glvl = _grad_level(scale, n_glv)
 
-    ang1, ang2, ratio2 = jax.vmap(
-        lambda lv, p, s: _orientation(gx_stack, gy_stack, lv, p, s))(
-        glvl, uv, scale)
+    ang1, ang2, ratio2 = _orientation_batch(gx_atlas, gy_atlas, gmeta,
+                                            glvl, uv, scale)
     # dual orientation (SIFT): keypoints with a rival histogram peak
     # >= 0.8*max also enter at the second angle; the final top-K keeps
     # capacity static (secondary copies get an epsilon score penalty so
@@ -451,9 +560,8 @@ def detect_and_describe(
     valid = jnp.isfinite(score_top) & (score_top > min_score)
 
     glvl = _grad_level(scale, n_glv)
-    desc = jax.vmap(
-        lambda lv, p, s, a: _descriptor(gx_stack, gy_stack, lv, p, s, a))(
-        glvl, uv, scale, ang)
+    desc = _descriptor_batch(gx_atlas, gy_atlas, gmeta, glvl, uv, scale,
+                             ang)
     desc = jnp.where(valid[:, None], desc, 0.0)
     return Keypoints(uv, scale, ang, score_top, valid, desc)
 

@@ -231,3 +231,167 @@ def gather_batched(src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     """vmap over a leading batch: src [N,H,W], iy/ix [N,Ho,Wo]."""
     return jax.vmap(lambda s, y, x: gather_image(s, y, x, **kw))(
         src, iy, ix)
+
+
+@partial(jax.jit, static_argnames=("band_rows", "tile_cols", "window_rows",
+                                   "miss_capacity"))
+def gather_image_bilinear(src: jnp.ndarray, sy: jnp.ndarray,
+                          sx: jnp.ndarray, valid: jnp.ndarray | None = None,
+                          *, band_rows: int = 8,
+                          tile_cols: int = 128,
+                          window_rows: int = 48,
+                          miss_capacity: int = 4096):
+    """Bilinear image sampling as ONE banded MXU matmul (round 3).
+
+    src [H,W]; sy/sx [Ho,Wo] float32 continuous source coords (edge-
+    clamped). Same banding idea as gather_image_banded, but the one-hot
+    carries the TWO x-interpolation weights (1-fx at x0, fx at x0+1) so
+    the matmul computes the x-interp, and the row selection carries
+    (1-fy, fy) over two rows — a full bilinear tap in one pass (values
+    split2: rel err <= 2^-17).
+
+    Two differences from the plain banded gather, both forced by warp
+    FIELDS (homographies) rather than per-row index vectors:
+      - bands are band_rows x tile_cols TILES, not full rows: under a
+        projective warp the source row varies with the output COLUMN
+        (at 48 deg yaw: ~±70 rows across a 2x-VGA width), so full-row
+        bands overflow any window; per-tile windows track it.
+      - windows are extracted by an exact 0/1 row-selector MATMUL
+        (one-hot [nb,WY,H] against src, hi/lo parts separately — 0/1
+        times bf16 accumulated in f32 is exact), NOT vmapped
+        dynamic_slice: per-band dynamic slices lower badly (round-1
+        lesson), and with column tiles there are Wo/tile_cols times more
+        bands.
+
+    Out-of-window pixels (incoherent fields, <= miss_capacity) are
+    patched with the exact 4-tap scalar path. Returns (values, ok);
+    ok=False marks pixels beyond the patch capacity (banded value only).
+
+    ``valid`` [Ho,Wo] bool (optional): pixels whose sampled value the
+    caller will DISCARD (e.g. outside a warp's source range, coords
+    clipped to garbage). They are excluded from each band's window mean
+    and never consume patch capacity — without this, a warp whose invalid
+    half clips to row 0 drags ybase off the coherent rows and floods the
+    patch budget (the 56-deg view-synthesis failure mode).
+    """
+    H, W = src.shape
+    Ho, Wo = sy.shape
+    window_rows = min(window_rows, H)
+    x0f = jnp.clip(jnp.floor(sx), 0.0, W - 2)
+    y0f = jnp.clip(jnp.floor(sy), 0.0, H - 2)
+    fx = jnp.clip(sx - x0f, 0.0, 1.0)
+    fy = jnp.clip(sy - y0f, 0.0, 1.0)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x0u, y0u, fxu, fyu = x0, y0, fx, fy                   # unpadded copies
+    if valid is None:
+        valid = jnp.ones((Ho, Wo), bool)
+
+    tile_cols = min(tile_cols, Wo)
+    pad_r = (-Ho) % band_rows
+    pad_c = (-Wo) % tile_cols
+    if pad_r or pad_c:
+        pads = ((0, pad_r), (0, pad_c))
+        x0 = jnp.pad(x0, pads, mode="edge")
+        y0 = jnp.pad(y0, pads, mode="edge")
+        fx = jnp.pad(fx, pads)
+        fy = jnp.pad(fy, pads)
+        valid = jnp.pad(valid, pads)                      # pads invalid
+    Hp, Wp = y0.shape
+    nby = Hp // band_rows
+    nbx = Wp // tile_cols
+    nb = nby * nbx
+    P = band_rows * tile_cols
+
+    def bandify(a):
+        return (a.reshape(nby, band_rows, nbx, tile_cols)
+                .transpose(0, 2, 1, 3).reshape(nb, P))
+
+    y0b, x0b = bandify(y0), bandify(x0)
+    fxb, fyb = bandify(fx), bandify(fy)
+    vb = bandify(valid)
+    ymean = (jnp.sum(y0b * vb, axis=1).astype(jnp.float32) /
+             jnp.maximum(vb.sum(axis=1), 1))              # valid-only mean
+    ybase = jnp.clip(ymean.astype(jnp.int32) - window_rows // 2,
+                     0, max(H - window_rows, 0))          # [nb]
+    rel_y = y0b - ybase[:, None]
+    # invalid pixels count as hits: their value is discarded by the
+    # caller, so they must not consume patch capacity
+    in_win = ((rel_y >= 0) & (rel_y < window_rows - 1)) | ~vb
+    rel_y = jnp.clip(rel_y, 0, window_rows - 2)
+
+    # window extraction as an exact one-hot matmul: rowsel [nb, WY, H]
+    hrows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (1, window_rows, 1), 1)
+    rowsel = (hrows == ybase[:, None, None] + wrows).astype(jnp.bfloat16)
+    src_hi = src.astype(jnp.bfloat16)
+    src_lo = (src - src_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    win_hi = jnp.einsum("brh,hw->brw", rowsel, src_hi,
+                        preferred_element_type=jnp.float32)
+    win_lo = jnp.einsum("brh,hw->brw", rowsel, src_lo,
+                        preferred_element_type=jnp.float32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    A = (jnp.where(cols == x0b[..., None], 1.0 - fxb[..., None], 0.0) +
+         jnp.where(cols == x0b[..., None] + 1, fxb[..., None], 0.0))
+
+    # split2 on BOTH operands, still one MXU pass: the weights (fx) carry
+    # real fractions, so bf16 weight quantization (2^-9) times the
+    # neighbor-value delta is visible — unlike gather_image_banded's exact
+    # 0/1 one-hots. Trick: contract [A_hi | A_lo] against
+    # [[hi|lo] ; [hi|0]] — the doubled contraction axis sums
+    # A_hi*hi + A_lo*hi (first half lanes) and A_hi*lo (second half);
+    # only A_lo*lo (~2^-17 relative) is dropped. 2*WY <= 128 lanes, so
+    # the whole tap is still a single pass.
+    hi = jnp.swapaxes(win_hi, 1, 2).astype(jnp.bfloat16)  # [nb, W, WY]
+    lo = jnp.swapaxes(win_lo, 1, 2).astype(jnp.bfloat16)
+    A_hi = A.astype(jnp.bfloat16)
+    A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    A2 = jnp.concatenate([A_hi, A_lo], -1)                # [nb,P,2W]
+    V2 = jnp.concatenate([
+        jnp.concatenate([hi, lo], -1),
+        jnp.concatenate([hi, jnp.zeros_like(lo)], -1)], 1)  # [nb,2W,2WY]
+    both = jax.lax.dot_general(
+        A2, V2,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)               # [nb,P,2WY]
+    tmp = both[..., :window_rows] + both[..., window_rows:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, window_rows), 2)
+    B = (jnp.where(rows == rel_y[..., None], 1.0 - fyb[..., None], 0.0) +
+         jnp.where(rows == rel_y[..., None] + 1, fyb[..., None], 0.0))
+    vals = jnp.sum(B * tmp, -1)                           # [nb,P]
+
+    def unbandify(a):
+        return (a.reshape(nby, nbx, band_rows, tile_cols)
+                .transpose(0, 2, 1, 3).reshape(Hp, Wp)[:Ho, :Wo])
+
+    vals = unbandify(vals)
+    in_win = unbandify(in_win)
+
+    # exact scalar patch-up for out-of-window pixels (capacity-bounded)
+    x0c, y0c, fxc, fyc = x0u, y0u, fxu, fyu
+    miss = (~in_win).reshape(-1)
+    pos = jnp.cumsum(miss.astype(jnp.int32)) - 1
+    slot = jnp.where(miss & (pos < miss_capacity), pos, miss_capacity)
+    n_pix = Ho * Wo
+
+    def buf(vec, fill=0):
+        return jnp.full((miss_capacity + 1,), fill, vec.dtype).at[slot].set(
+            vec.reshape(-1), mode="drop")[:miss_capacity]
+    bx0 = buf(x0c)
+    by0 = buf(y0c)
+    bfx = buf(fxc.astype(jnp.float32))
+    bfy = buf(fyc.astype(jnp.float32))
+    bpix = jnp.full((miss_capacity + 1,), n_pix, jnp.int32).at[slot].set(
+        jnp.arange(n_pix, dtype=jnp.int32), mode="drop")[:miss_capacity]
+    v00 = src[by0, bx0]
+    v01 = src[by0, bx0 + 1]
+    v10 = src[by0 + 1, bx0]
+    v11 = src[by0 + 1, bx0 + 1]
+    pv = (v00 * (1 - bfx) * (1 - bfy) + v01 * bfx * (1 - bfy) +
+          v10 * (1 - bfx) * bfy + v11 * bfx * bfy)
+    out = vals.reshape(-1).at[bpix].set(pv, mode="drop")
+    ok = in_win.reshape(-1).at[bpix].set(True, mode="drop")
+    return out.reshape(Ho, Wo), ok.reshape(Ho, Wo)

@@ -97,6 +97,8 @@ class SurfaceMesh(NamedTuple):
     faces: jnp.ndarray        # [cap_f,3], -1 padded
     num_vertices: jnp.ndarray
     num_faces: jnp.ndarray
+    cells: jnp.ndarray        # [cap_v,3] int32 (z,y,x) owning grid cell —
+    #                           exact integer identity for cross-slab welds
 
 
 @partial(jax.jit, static_argnames=("max_vertices", "max_faces", "min_weight"))
@@ -105,18 +107,19 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
                  min_weight: float = 1.0) -> SurfaceMesh:
     """Extract the zero isosurface: one vertex per cell with a sign change,
     placed at the mean of its edge zero-crossings; two triangles per grid
-    face whose dual edge crosses the surface."""
+    face whose dual edge crosses the surface. The grid may be RECTANGULAR
+    [Gz,Gy,Gx] (Poisson's Z-slab extraction passes slabs)."""
     v = tsdf.values
     wt = tsdf.weights
-    G = v.shape[0]
+    Gz, Gy, Gx = v.shape
     observed = wt >= min_weight
 
-    # cell = (i,j,k) with corners (i..i+1, j..j+1, k..k+1); [G-1]^3 cells
+    # cell = (i,j,k) with corners (i..i+1, j..j+1, k..k+1) cells
     def corner(di, dj, dk):
-        return v[di:G - 1 + di, dj:G - 1 + dj, dk:G - 1 + dk]
+        return v[di:Gz - 1 + di, dj:Gy - 1 + dj, dk:Gx - 1 + dk]
 
     def cobs(di, dj, dk):
-        return observed[di:G - 1 + di, dj:G - 1 + dj, dk:G - 1 + dk]
+        return observed[di:Gz - 1 + di, dj:Gy - 1 + dj, dk:Gx - 1 + dk]
 
     corners = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
                (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
@@ -149,8 +152,10 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
         cnt = cnt + crossing.astype(jnp.float32)
     vpos = pos_acc / jnp.maximum(cnt[..., None], 1.0)     # cell-local (x,y,z)
 
-    g = jnp.arange(G - 1, dtype=jnp.float32)
-    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+    zz, yy, xx = jnp.meshgrid(jnp.arange(Gz - 1, dtype=jnp.float32),
+                              jnp.arange(Gy - 1, dtype=jnp.float32),
+                              jnp.arange(Gx - 1, dtype=jnp.float32),
+                              indexing="ij")
     base = jnp.stack([xx, yy, zz], -1)
     world = tsdf.origin + tsdf.spacing * (base + vpos)    # [g,g,g,3]
 
@@ -162,13 +167,16 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
                     max_vertices)
     verts = jnp.zeros((max_vertices, 3), jnp.float32).at[tgt].set(
         world.reshape(-1, 3), mode="drop")
+    cell_zyx = jnp.stack([zz, yy, xx], -1).astype(jnp.int32)
+    cells = jnp.full((max_vertices, 3), -1, jnp.int32).at[tgt].set(
+        cell_zyx.reshape(-1, 3), mode="drop")
 
     id_grid = ids.reshape(has_surf.shape)
     surf = has_surf
 
     # faces: for each grid edge along axis ax between voxel (i,j,k) and its
     # +ax neighbor with a sign change, connect the 4 cells sharing that edge
-    gm1 = G - 1
+    cm = (Gz - 1, Gy - 1, Gx - 1)        # cells per storage axis
     tris_idx = []
     tris_ok = []
 
@@ -190,8 +198,8 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
         # quad cells: the 4 cells adjacent to this voxel edge. In cell
         # coords, cells c with c_store_ax = p_store_ax and the other two
         # axes in {p-1, p}. Build index grids over voxels [G]^3, clip later.
-        zi, yi, xi = jnp.meshgrid(jnp.arange(G), jnp.arange(G),
-                                  jnp.arange(G), indexing="ij")
+        zi, yi, xi = jnp.meshgrid(jnp.arange(Gz), jnp.arange(Gy),
+                                  jnp.arange(Gx), indexing="ij")
         pidx = [zi, yi, xi]
         other = [a for a in range(3) if a != store_ax]
 
@@ -199,11 +207,11 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
             cz = pidx[0] - dz
             cy = pidx[1] - dy
             cx = pidx[2] - dx
-            okb = ((cz >= 0) & (cz < gm1) & (cy >= 0) & (cy < gm1) &
-                   (cx >= 0) & (cx < gm1))
-            czc = jnp.clip(cz, 0, gm1 - 1)
-            cyc = jnp.clip(cy, 0, gm1 - 1)
-            cxc = jnp.clip(cx, 0, gm1 - 1)
+            okb = ((cz >= 0) & (cz < cm[0]) & (cy >= 0) & (cy < cm[1]) &
+                   (cx >= 0) & (cx < cm[2]))
+            czc = jnp.clip(cz, 0, cm[0] - 1)
+            cyc = jnp.clip(cy, 0, cm[1] - 1)
+            cxc = jnp.clip(cx, 0, cm[2] - 1)
             return (jnp.where(okb & surf[czc, cyc, cxc],
                               id_grid[czc, cyc, cxc], -1))
 
@@ -232,7 +240,7 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     ftgt = jnp.where(tok, jnp.minimum(fids, max_faces - 1), max_faces)
     faces = jnp.full((max_faces, 3), -1, jnp.int32).at[ftgt].set(
         tri, mode="drop")
-    return SurfaceMesh(verts, faces, num_v, num_f)
+    return SurfaceMesh(verts, faces, num_v, num_f, cells)
 
 
 def fuse_multi_sequence(seq_disparities, seq_cams, transforms, *,

@@ -94,22 +94,21 @@ def synthesize_views(
         du = jnp.floor(gu_abs - offx + 0.5).astype(jnp.int32)
         dv = jnp.floor(gv_abs - offy + 0.5).astype(jnp.int32)
 
-        # bilinear sample source at (uf, vf) (Image3D.cpp:178-211)
-        x0 = jnp.clip(jnp.floor(uf).astype(jnp.int32), 0, w - 1)
-        y0 = jnp.clip(jnp.floor(vf).astype(jnp.int32), 0, h - 1)
-        x1 = jnp.clip(jnp.ceil(uf).astype(jnp.int32), 0, w - 1)
-        y1 = jnp.clip(jnp.ceil(vf).astype(jnp.int32), 0, h - 1)
-        fx = uf - jnp.floor(uf)
-        fy = vf - jnp.floor(vf)
+        # bilinear sample source at (uf, vf) (Image3D.cpp:178-211), one
+        # banded MXU matmul per channel (round 3: the 4-tap advanced-index
+        # gathers over the 2x grid ran the TPU scalar path — measured
+        # 250 ms per 3-view VGA synthesis; the homography warp field is
+        # exactly the coherent-index case gather2d was built for)
+        from .gather2d import gather_image_bilinear
         img = image.astype(jnp.float32)
-        s00 = img[y0, x0]
-        s01 = img[y0, x1]
-        s10 = img[y1, x0]
-        s11 = img[y1, x1]
-        wx0, wx1 = (1 - fx)[..., None], fx[..., None]
-        wy0, wy1 = (1 - fy)[..., None], fy[..., None]
-        sample = (s00 * wx0 * wy0 + s01 * wx1 * wy0 +
-                  s10 * wx0 * wy1 + s11 * wx1 * wy1)
+        # sanitize: wf ~ 0 rows produce inf/NaN coords; they are outside
+        # `inr` (never written) but would poison the banded gather's
+        # per-band window means
+        ufc = jnp.clip(jnp.where(jnp.isfinite(uf), uf, 0.0), 0.0, w - 1.0)
+        vfc = jnp.clip(jnp.where(jnp.isfinite(vf), vf, 0.0), 0.0, h - 1.0)
+        chans = [gather_image_bilinear(img[..., c], vfc, ufc, inr)[0]
+                 for c in range(image.shape[-1])]
+        sample = jnp.stack(chans, -1)
 
         ok = (inr & (du >= 0) & (du <= w - 1) & (dv >= 0) & (dv <= h - 1))
         flat = jnp.where(ok, dv * w + du, h * w)      # OOB slot dropped

@@ -144,20 +144,24 @@ def match_sequence_pair(
     best_e, nm, res = select_keyframe(eb, cfg.min_match_count)
 
     # host-side candidate list (for the pose graph + debug artifacts):
-    # one bulk pull per array, sliced per eligible edge
-    uv1_h = np.asarray(eb.uv1)
-    uv2_h = np.asarray(eb.uv2)
-    p1_h = np.asarray(eb.p1)
-    p2_h = np.asarray(eb.p2)
-    mask_h = np.asarray(eb.mask)
+    # pull ONLY the eligible edges (nm >= 3) — the [E] reduction is tiny,
+    # and at config-5 shape the full [E, max_matches, ...] arrays are
+    # ~400 MB over the tunnel while eligible edges are a handful
+    # (round-2 verdict weak #7)
+    nm_h = np.asarray(nm)
+    elig = np.nonzero(nm_h >= 3)[0]
+    sel = jnp.asarray(elig.astype(np.int32))
+    uv1_h = np.asarray(eb.uv1[sel])
+    uv2_h = np.asarray(eb.uv2[sel])
+    p1_h = np.asarray(eb.p1[sel])
+    p2_h = np.asarray(eb.p2[sel])
+    mask_h = np.asarray(eb.mask[sel])
     candidates: List[PairCandidate] = []
     best: Optional[PairCandidate] = None
-    for e in range(nm.shape[0]):
-        if nm[e] < 3:
-            continue
-        c = PairCandidate(e // n2, e % n2, uv1_h[e], uv2_h[e],
-                          p1_h[e], p2_h[e], mask_h[e],
-                          float(res[e]), int(nm[e]))
+    for k, e in enumerate(elig):
+        c = PairCandidate(int(e) // n2, int(e) % n2, uv1_h[k], uv2_h[k],
+                          p1_h[k], p2_h[k], mask_h[k],
+                          float(res[e]), int(nm_h[e]))
         candidates.append(c)
         if e == best_e:
             best = c

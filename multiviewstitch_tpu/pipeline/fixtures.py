@@ -170,6 +170,71 @@ def textured_views(scene: Scene, scale: float = 255.0) -> np.ndarray:
     return np.stack(imgs)
 
 
+def sensor_noise(gray: np.ndarray, disparity: np.ndarray, level: float,
+                 seed: int = 0):
+    """Apply a realistic RGB-D sensor noise model at strength ``level``
+    (0 = clean; 1 = a plausible hand-held consumer depth camera — the
+    reference's operating regime, imgPathList.txt's hand-held scans;
+    its pixel_err/dsp_err/conf_min thresholds exist exactly for this).
+
+    Photometric (gray, 0..255 scale): per-frame gain/offset drift (auto
+    exposure), radial vignetting, additive Gaussian pixel noise.
+    Geometric (disparity): multiplicative Gaussian noise (stereo disparity
+    error grows with disparity), then QUANTIZATION to discrete disparity
+    steps (the staircase artifact of real stereo/structured-light sensors),
+    plus salt dropouts (invalid pixels).
+
+    Returns (gray_noisy, disparity_noisy) as float32 copies.
+    """
+    rng = np.random.default_rng(seed)
+    n, h, w = gray.shape
+    g = gray.astype(np.float32).copy()
+    d = disparity.astype(np.float32).copy()
+    if level <= 0:
+        return g, d
+
+    # photometric: gain in [1-0.08L, 1+0.08L], offset +-4L gray levels,
+    # vignette up to 20%*L at the corners, noise sigma 2.5L
+    gain = 1.0 + rng.uniform(-0.08, 0.08, size=(n, 1, 1)) * level
+    offset = rng.uniform(-4.0, 4.0, size=(n, 1, 1)) * level
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = (((yy - h / 2) / (h / 2)) ** 2 + ((xx - w / 2) / (w / 2)) ** 2) / 2
+    vig = 1.0 - 0.2 * level * r2[None]
+    g = g * gain * vig + offset + \
+        rng.normal(size=g.shape).astype(np.float32) * 2.5 * level
+    g = np.clip(g, 0.0, 255.0).astype(np.float32)
+
+    # geometric: 1% * L multiplicative noise, quantize to 0.5% * L steps,
+    # 0.5% * L dropouts
+    valid = d > 0
+    d = d * (1.0 + rng.normal(size=d.shape).astype(np.float32) *
+             0.01 * level)
+    q = 0.005 * level * float(d[valid].mean()) if valid.any() else 0.0
+    if q > 0:
+        d = np.round(d / q) * q
+    drop = rng.random(d.shape) < 0.005 * level
+    d = np.where(valid & ~drop, d, 0.0).astype(np.float32)
+    return g, d
+
+
+def inject_outlier_matches(uv1: np.ndarray, uv2: np.ndarray,
+                           mask: np.ndarray, frac: float, width: int,
+                           height: int, seed: int = 0):
+    """Replace ``frac`` of the valid matches' second endpoints with uniform
+    random pixels — synthetic gross outliers for RANSAC/filter-cascade
+    robustness tests (the reference's RemoveOutliers rounds exist for
+    these, Processor.cpp:196-259)."""
+    rng = np.random.default_rng(seed)
+    uv2 = uv2.copy()
+    vi = np.flatnonzero(mask)
+    n_bad = int(len(vi) * frac)
+    bad = rng.choice(vi, size=n_bad, replace=False) if n_bad else \
+        np.zeros(0, np.int64)
+    uv2[bad, 0] = rng.integers(0, width, size=n_bad)
+    uv2[bad, 1] = rng.integers(0, height, size=n_bad)
+    return uv2, bad
+
+
 def shade_views(scene: Scene, light=(0.4, 0.7, 0.2)) -> np.ndarray:
     """Cheap lambertian grayscale 'photos' [N,H,W] from the scene's
     disparity maps + mesh — gives photometric texture for feature tests."""

@@ -169,3 +169,50 @@ def test_grid_mesh_edge_sz_thres_cuts_long_edges():
     e = v[f_cut]
     for a, b in ((0, 1), (1, 2), (0, 2)):
         assert (np.linalg.norm(e[:, a] - e[:, b], axis=1) <= 1.0 + 1e-5).all()
+
+
+def test_rasterize_closeup_giant_triangles_render_exactly():
+    """Faces with bboxes far beyond tile_large (close-up camera) must
+    RENDER, not just count in overflow (round-2 verdict: the GL reference
+    rasterizes any triangle, Model2Depth.cpp:58-79; the counter-only
+    behavior silently dropped geometry on config 3's close-up loop)."""
+    z = 2.0
+    verts = jnp.asarray([[-20, -20, z], [20, -20, z], [20, 20, z],
+                         [-20, 20, z]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    w, h = 320, 240
+    K = jnp.asarray([[300.0, 0, (w - 1) / 2], [0, 300.0, (h - 1) / 2],
+                     [0, 0, 1]], jnp.float32)
+    cam = CameraBatch(K, jnp.eye(3), jnp.zeros(3), w, h)
+    out = render_disparity(verts, faces, jnp.ones(2, bool), cam,
+                           height=h, width=w)
+    d = np.asarray(out.disparity)
+    assert int(out.overflow) == 0
+    # full-frame coverage at the analytic disparity
+    np.testing.assert_allclose(d, 0.5, atol=1e-5)
+
+    # nearest-surface wins against a background plane behind it
+    verts2 = jnp.concatenate([verts, jnp.asarray(
+        [[-30, -30, 4.0], [30, -30, 4.0], [30, 30, 4.0]], jnp.float32)])
+    faces2 = jnp.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6]], jnp.int32)
+    out2 = render_disparity(verts2, faces2, jnp.ones(3, bool), cam,
+                            height=h, width=w)
+    np.testing.assert_allclose(np.asarray(out2.disparity), 0.5, atol=1e-5)
+
+
+def test_rasterize_overflow_counts_beyond_capacity():
+    """Giant faces beyond overflow_capacity are the only ones left
+    unrendered, and are reported."""
+    z = 2.0
+    verts = jnp.asarray([[-20, -20, z], [20, -20, z], [20, 20, z],
+                         [-20, 20, z]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    w, h = 320, 240
+    K = jnp.asarray([[300.0, 0, (w - 1) / 2], [0, 300.0, (h - 1) / 2],
+                     [0, 0, 1]], jnp.float32)
+    cam = CameraBatch(K, jnp.eye(3), jnp.zeros(3), w, h)
+    out = render_disparity(verts, faces, jnp.ones(2, bool), cam,
+                           height=h, width=w, overflow_capacity=1)
+    assert int(out.overflow) == 1          # one face over capacity
+    d = np.asarray(out.disparity)
+    assert (d == 0.5).mean() > 0.4         # the in-capacity half rendered

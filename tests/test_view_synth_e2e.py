@@ -3,11 +3,14 @@
 synthesized rotated views + texIndex dedup (Processor.cpp:649-680) make
 cross-sequence matching possible where raw views share too little
 appearance. This fixture PROVES the path does that: two sequences whose
-cameras differ by a 48 deg in-place yaw (wide FOV, so the yaw homography is
-a real perspective distortion, not a translation):
+cameras differ by a 56 deg in-place yaw (wide FOV, so the yaw homography is
+a real perspective distortion, not a translation). 48 deg was enough in
+round 2; the round-3 SIFT rework (scale-matched pyramid sampling on the
+MXU) closed that gap with RAW views — correctly, to 0.65 deg — so the
+negative case moved to 56 deg, where raw matching finds only 3 pairs:
 
   - view_count=1 must FAIL keyframe selection (too few surviving matches)
-  - view_count=3, rot_angle=48 must align to the identity ground truth
+  - view_count=5, rot_angle=56 must align to the identity ground truth
 
 Stable across RANSAC seeds (detection is deterministic; the 256-iteration
 RANSAC converges to the same inlier set — checked for seeds 0..3)."""
@@ -25,7 +28,7 @@ from multiviewstitch_tpu.pipeline.align_seq import (Sequence,
                                                     match_sequence_pair)
 from tests.test_e2e_align import CFG
 
-YAW_DEG = 48.0
+YAW_DEG = 56.0
 
 
 @pytest.fixture(scope="module")
@@ -67,7 +70,13 @@ def test_raw_views_cannot_align(yawed_pair):
 
 def test_synth_views_bridge_the_gap(yawed_pair):
     s1, s2 = yawed_pair
-    cfg = CFG.replace(view_count=3, rot_angle=YAW_DEG)
+    # rot_angle is the per-view STEP (the reference's RotAngle knob,
+    # Image3D.cpp:131-133): view_count=5 at step yaw/2 synthesizes
+    # {-yaw, -yaw/2, 0, +yaw/2, +yaw}, whose +-yaw members see seq2's
+    # viewpoint exactly. Passing the full yaw as the step (an earlier
+    # version of this test) puts the extremes at +-2*yaw, where the
+    # homography foreshortening destroys matchability.
+    cfg = CFG.replace(view_count=5, rot_angle=YAW_DEG / 2)
     T, best, cands = match_sequence_pair(s1, s2, cfg, jax.random.key(0))
     # ground truth: the sequences share one world, T must be ~identity
     ang = np.degrees(np.arccos(np.clip(
