@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="skip the config-5 64-view end-to-end block")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -185,9 +187,46 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), float(flops)
 
+    def time_winconsistency(nd):
+        """Window-sharded consistency at config-5 shape (64 frames,
+        parallel/view_windows.py) — the sequence-length scaling axis."""
+        from multiviewstitch_tpu.parallel.view_windows import \
+            check_consistency_windowed
+        from functools import partial as _part
+        nf = 64
+        mesh = make_mesh(nd, ("views",))
+        sh = NamedSharding(mesh, P("views"))
+        rng2 = np.random.default_rng(7)
+        d64 = rng2.uniform(0.2, 0.4, size=(nf, h, w)).astype(np.float32)
+        K64 = np.broadcast_to(K[0], (nf, 3, 3)).copy()
+        R64 = np.broadcast_to(np.eye(3, dtype=np.float32), (nf, 3, 3)).copy()
+        t64 = np.zeros((nf, 3), np.float32)
+        t64[:, 0] = np.linspace(0, 0.6, nf)
+        arrs = [jax.device_put(jnp.asarray(x), sh)
+                for x in (d64, K64, R64, t64)]
+        cams = CameraBatch(arrs[1], arrs[2], arrs[3], w, h)
+        f = jax.jit(_part(check_consistency_windowed.__wrapped__
+                          if hasattr(check_consistency_windowed,
+                                     "__wrapped__")
+                          else check_consistency_windowed,
+                          mesh=mesh, min_dsp=1e-3, max_dsp=10.0,
+                          reproj_err=4))
+        lowered = f.lower(arrs[0], cams).compile()
+        flops = lowered.cost_analysis().get("flops", 0.0)
+        o = f(arrs[0], cams)
+        jax.block_until_ready(o)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = f(arrs[0], cams)
+            jax.block_until_ready(o)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), float(flops)
+
     results = {}
     for name, fn in (("frontend", time_frontend), ("ba_step", time_ba),
-                     ("match_edges", time_edges)):
+                     ("match_edges", time_edges),
+                     ("windowed_consistency", time_winconsistency)):
         times, flops = {}, {}
         for nd in (1, 2, 4, args.devices):
             if nd > args.devices:
@@ -209,6 +248,68 @@ def main():
                          for k, v in times.items()},
             "per_device_gflops": {str(k): round(v / 1e9, 4)
                                   for k, v in flops.items()},
+        }))
+
+    # --- config-5 end to end (round-3 verdict item 8): the FULL 64-view
+    # align path — features -> window/edge-sharded sweep -> cascade ->
+    # RANSAC -> keyframe -> SRT -> fusion — through the public API on the
+    # mesh, one JSON block. Peak per-device memory is read from the live
+    # backend after the run.
+    if not args.skip_e2e:
+        from multiviewstitch_tpu.core.transforms import Similarity
+        from multiviewstitch_tpu.pipeline.fixtures import (make_scene,
+                                                           textured_views)
+        from multiviewstitch_tpu.pipeline.align_seq import (
+            Sequence, align_sequences, fuse_sequences)
+        from tests.test_e2e_align import CFG
+
+        cfg = CFG.replace(max_keypoints=128, iter_num=64)
+        gt = Similarity(jnp.asarray(1.15, jnp.float32),
+                        jnp.asarray(np.array(
+                            [[0.9848, 0.0, 0.1736], [0.0, 1.0, 0.0],
+                             [-0.1736, 0.0, 0.9848]], np.float32)),
+                        jnp.asarray([0.1, -0.05, 0.15], jnp.float32))
+        sc1 = make_scene(n_frames=32, width=96, height=72, bumps=0.15,
+                         n_lat=48, n_lon=64, arc_deg=120.0)
+        sc2 = make_scene(n_frames=32, width=96, height=72, bumps=0.15,
+                         n_lat=48, n_lon=64, arc_deg=120.0, transform=gt)
+        seqs = [Sequence(jnp.asarray(textured_views(sc1)),
+                         jnp.asarray(sc1.disparity), sc1.cams),
+                Sequence(jnp.asarray(textured_views(sc2)),
+                         jnp.asarray(sc2.disparity), sc2.cams)]
+
+        def run_e2e(mesh):
+            t0 = time.perf_counter()
+            res = align_sequences(seqs, cfg, seed=0, mesh=mesh)
+            pts, nrm = fuse_sequences(seqs, res, cfg)
+            np.asarray(pts[:1])
+            return time.perf_counter() - t0, res
+
+        mesh8 = make_mesh(args.devices, ("views",))
+        run_e2e(mesh8)                               # warm/compile
+        wall8, res8 = run_e2e(mesh8)
+        T = res8.transforms[0]
+        dR = np.asarray(T.R) @ np.asarray(gt.R).T
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+        mem = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                mem = {"peak_bytes_device0": int(
+                    stats.get("peak_bytes_in_use", 0))}
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "scaling_config5_e2e",
+            "value": round(wall8, 2),
+            "unit": f"s wall, 64-view align+fuse on {args.devices}-device "
+                    "cpu mesh (sharded edge sweep; wall-clock needs real "
+                    "chips)",
+            "rotation_err_deg": round(ang, 3),
+            "scale_rel_err": round(abs(float(T.s) - float(gt.s)) /
+                                   float(gt.s), 4),
+            **mem,
         }))
     return results
 

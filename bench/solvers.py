@@ -104,6 +104,23 @@ def bench_ba(reps=8, n_cams=16, n_pts=2048, obs_window=None):
     return best / reps * 1e3
 
 
+def bench_ba_solve(n_cams=16, n_pts=2048, iters=20):
+    """Wall time of a FULL LM solve (accept/reject damping control in a
+    lax.while_loop carry — one dispatch per solve; round-3 verdict item 3:
+    the former host-looped float(rmse) per iteration cost two ~25 ms
+    tunnel round trips against a 6.8 ms step)."""
+    from multiviewstitch_tpu.solvers import ba
+
+    prob, st = synth_ba(n_cams=n_cams, n_pts=n_pts)
+    out, best_rmse = ba.solve_ba(prob, st, iters=iters)   # compile + sync
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, best_rmse = ba.solve_ba(prob, st, iters=iters)
+        wall = min(wall, time.perf_counter() - t0)
+    return wall * 1e3, best_rmse
+
+
 def bench_arap(outer=5, cg=60):
     import jax
     from multiviewstitch_tpu.pipeline.fixtures import uv_sphere
@@ -161,12 +178,16 @@ def main():
         ba_ms = bench_ba()
         ba_problem = "16 cams x 2048 pts, Schur GN step"
     arap_ms, nv = bench_arap()
+    solve_ms, solve_rmse = bench_ba_solve()
     print(json.dumps({
         "backend": jax.default_backend(),
         "ba_ms_per_iter": round(ba_ms, 3),
         "ba_problem": ba_problem,
+        "ba_solve_wall_ms_20it": round(solve_ms, 2),
+        "ba_solve_rmse_px": round(float(solve_rmse), 6),
         "arap_ms_per_outer_iter": round(arap_ms, 3),
-        "arap_problem": f"{nv}-vertex sphere, 60 CG iters per outer",
+        "arap_problem": f"{nv}-vertex sphere, factor-once Cholesky "
+                        "global step (dense path, V<=4096)",
     }))
 
 

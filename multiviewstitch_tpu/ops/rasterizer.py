@@ -195,20 +195,24 @@ def render_disparity(
           jnp.clip(jnp.min(ua, axis=1), 0, width - 1))
     bh = (jnp.clip(jnp.max(va, axis=1), 0, height - 1) -
           jnp.clip(jnp.min(va, axis=1), 0, height - 1))
-    small = (bw < tile - 1) & (bh < tile - 1)
-    mid = ~small & (bw < 4 * tile - 1) & (bh < 4 * tile - 1)
-    large = ~small & ~mid & (bw < tile_large - 1) & (bh < tile_large - 1)
-    huge = ok & ~small & ~mid & ~large
+    bb = jnp.maximum(bw, bh)
 
-    # pass 1 sweeps ALL faces at the base tile; every bigger class is
-    # COMPACTED to a fixed capacity and its pass is gated by lax.cond, so
-    # an all-small mesh pays nothing for them. (Round 3: the previous
-    # structure scanned all 100k faces at tile_large chunking — 1.6e9
-    # scatter elements, 15.3 s/frame on v5e for a mesh with ZERO large
-    # faces. Masked scatter work is index-count-bound, not valid-count-
-    # bound, so the large passes must shrink their index volume.)
+    # Tile ladder with SPILL CHAINING (round 3). Scatter-max work is
+    # index-count-bound, not valid-count-bound, so every face pays its
+    # pass's full tile^2 slots — the base pass must be the cheapest tile
+    # that covers the bulk (fine meshes: 1-4 px faces, 8^2 slots), and
+    # every bigger class is COMPACTED to a fixed capacity behind a
+    # lax.cond (an all-small mesh pays nothing for them). A class that
+    # overflows its capacity SPILLS the excess to the next-larger pass
+    # (a t-tile pass is exact for any face with bbox < t-1, so spilling
+    # upward is always correct); only the final full-frame pass counts
+    # drops. (History: one tile_large sweep over all faces was 15.3
+    # s/frame on v5e for a mesh with ZERO large faces; a t16 base sweep
+    # measured 243 ms for 100k 3-px faces — 256 slots each.)
     zbuf = jnp.zeros((height * width + 1,), jnp.float32)
-    zbuf = _raster_pass(uvz, f, ok & small, height, width, tile, zbuf, chunk)
+    base = min(tile, 8)
+    zbuf = _raster_pass(uvz, f, ok & (bb < base - 1), height, width, base,
+                        zbuf, min(4 * chunk, max(f.shape[0], 8)))
 
     def compact(sel, cap):
         pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -216,34 +220,42 @@ def render_disparity(
         buf = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
             jnp.arange(f.shape[0], dtype=jnp.int32), mode="drop")
         filled = jnp.zeros((cap + 1,), bool).at[slot].set(True, mode="drop")
-        return f[buf[:cap]], filled[:cap], jnp.maximum(sel.sum() - cap, 0)
+        spilled = sel & (pos >= cap)
+        return f[buf[:cap]], filled[:cap], spilled
 
     def gated_pass(zbuf, sel, cap, run):
-        fsel, oksel, dropped = compact(sel, cap)
+        fsel, oksel, spilled = compact(sel, cap)
         return jax.lax.cond(oksel.any(),
                             lambda zb: run(zb, fsel, oksel),
-                            lambda zb: zb, zbuf), dropped
+                            lambda zb: zb, zbuf), spilled
 
-    mid_cap = min(8192, f.shape[0])
-    zbuf, drop_m = gated_pass(
-        zbuf, ok & mid, mid_cap,
-        lambda zb, fs, os_: _raster_pass(uvz, fs, os_, height, width,
-                                         4 * tile, zb,
-                                         max(chunk // 16, 8)))
-    large_cap = min(1024, f.shape[0])
-    zbuf, drop_l = gated_pass(
-        zbuf, ok & large, large_cap,
-        lambda zb, fs, os_: _raster_pass(uvz, fs, os_, height, width,
-                                         tile_large, zb, 8))
+    ladder = []
+    t = 2 * base
+    while t < tile_large:
+        ladder.append(t)
+        t *= 2
+    ladder.append(tile_large)
+    spill = jnp.zeros_like(ok)
+    lower = bb < base - 1
+    for t in ladder:
+        cls = ok & ~lower & (bb < t - 1)
+        lower = lower | (bb < t - 1)
+        # equal worst-case index volume per gated pass: cap * t^2 ~ 8.4M
+        cap = min(f.shape[0], max(512, (32768 * 256) // (t * t)))
+        zbuf, spill = gated_pass(
+            zbuf, cls | spill, cap,
+            lambda zb, fs, os_, t=t: _raster_pass(
+                uvz, fs, os_, height, width, t, zb,
+                max((2048 * 256) // (t * t), 8)))
     # full-frame pass: exact for arbitrarily large triangles (the GL
     # reference renders any triangle)
     cap = max(overflow_capacity, 1)
-    zbuf, drop_h = gated_pass(
-        zbuf, huge, cap,
+    zbuf, spill = gated_pass(
+        zbuf, (ok & ~lower) | spill, cap,
         lambda zb, fs, os_: _raster_pass_fullframe(uvz, fs, os_, height,
                                                    width, zb,
                                                    min(4, cap)))
-    overflow = (drop_m + drop_l + drop_h).astype(jnp.int32)
+    overflow = spill.sum().astype(jnp.int32)
     return RenderResult(zbuf[:height * width].reshape(height, width), overflow)
 
 

@@ -90,10 +90,6 @@ def synthesize_views(
         offx = jnp.floor((maxu + minu) * 0.5 - (w - 1) * 0.5 + 0.5)
         offy = jnp.floor((maxv + minv) * 0.5 - (h - 1) * 0.5 + 0.5)
 
-        # dest pixel for each expanded-grid sample (Image3D.cpp:175-177)
-        du = jnp.floor(gu_abs - offx + 0.5).astype(jnp.int32)
-        dv = jnp.floor(gv_abs - offy + 0.5).astype(jnp.int32)
-
         # bilinear sample source at (uf, vf) (Image3D.cpp:178-211), one
         # banded MXU matmul per channel (round 3: the 4-tap advanced-index
         # gathers over the 2x grid ran the TPU scalar path — measured
@@ -110,18 +106,33 @@ def synthesize_views(
                  for c in range(image.shape[-1])]
         sample = jnp.stack(chans, -1)
 
-        ok = (inr & (du >= 0) & (du <= w - 1) & (dv >= 0) & (dv <= h - 1))
-        flat = jnp.where(ok, dv * w + du, h * w)      # OOB slot dropped
-
-        out = jnp.zeros((h * w + 1, image.shape[-1]), jnp.float32)
-        out = out.at[flat.ravel()].set(sample.reshape(-1, image.shape[-1]),
-                                       mode="drop")
-        # texIndex: nearest source pixel (Image3D.cpp:181,213)
-        src = (jnp.floor(vf + 0.5).astype(jnp.int32) * w +
-               jnp.floor(uf + 0.5).astype(jnp.int32))
-        tex = jnp.full((h * w + 1,), -1, jnp.int32)
-        tex = tex.at[flat.ravel()].set(src.ravel(), mode="drop")
-        return out[:h * w].reshape(h, w, -1), tex[:h * w].reshape(h, w)
+        # destination write as ONE dynamic slice, not a scatter: du/dv are
+        # an exact integer TRANSLATION of the regular expanded grid
+        # (gu_abs = arange(w2), offx integer-valued), so "scatter sample
+        # to (dv,du)" == "slice the grid at (offy, offx)". The two
+        # 1.2M-element scalar-path scatters this replaces were ~2/3 of the
+        # measured 305 ms per 3-view VGA synthesis (round 3). Padding by
+        # (h, w) keeps every reachable offset in range (off ∈
+        # [-d/2, 3d/2] from the bbox-centering formula).
+        src = jnp.where(inr,
+                        jnp.floor(vf + 0.5).astype(jnp.int32) * w +
+                        jnp.floor(uf + 0.5).astype(jnp.int32),
+                        -1)                            # texIndex w/ invalid
+        sample = jnp.where(inr[..., None], sample, 0.0)
+        stack = jnp.concatenate(
+            [sample, src[..., None].astype(jnp.float32)], -1)
+        stack = jnp.pad(stack, ((h, h), (w, w), (0, 0)),
+                        constant_values=-1.0)
+        # pad fills sample channels with -1 too; they are masked by tex<0
+        # at the consumer (tex == -1 marks "no source pixel") but zero them
+        # anyway to keep image semantics
+        oy = offy.astype(jnp.int32) + h
+        ox = offx.astype(jnp.int32) + w
+        win = jax.lax.dynamic_slice(
+            stack, (oy, ox, 0), (h, w, stack.shape[-1]))
+        tex = win[..., -1].astype(jnp.int32)
+        out = jnp.where((tex >= 0)[..., None], win[..., :-1], 0.0)
+        return out, tex
 
     imgs, tex = jax.vmap(one_view)(angles)
     return SynthViews(imgs, tex)
