@@ -88,9 +88,14 @@ def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
                                        cfg.max_dsp)
         gray = jnp.where(fg, gray, 0.0)
     angles = view_angles(cfg.view_count, cfg.rot_angle)
-    sv = jax.vmap(lambda g, K, R: synthesize_views(
-        g[..., None], K, R, angles, axis=cfg.axis))(
-        gray, seq.cams.K, seq.cams.R)
+    # lax.map, NOT vmap: the banded bilinear gather inside the homography
+    # resample materializes ~1.5 GB of one-hot selector temporaries per
+    # frame; vmapping over N frames keeps all of them live at once and
+    # OOMs HBM at config-2 shape (measured: 17.5 G needed vs 15.75 G on
+    # v5e). Sequential frames keep one frame's temporaries live.
+    sv = jax.lax.map(lambda gKR: synthesize_views(
+        gKR[0][..., None], gKR[1], gKR[2], angles, axis=cfg.axis),
+        (gray, seq.cams.K, seq.cams.R))
     margins = (cfg.hl_margin_ratio, cfg.hr_margin_ratio,
                cfg.vl_margin_ratio, cfg.vr_margin_ratio)
     from ..ops.features import detect_batch

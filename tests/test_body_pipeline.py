@@ -14,6 +14,8 @@ from multiviewstitch_tpu.pipeline.fixtures import ring_cameras
 from multiviewstitch_tpu.pipeline.deform_render import deform_stage
 from multiviewstitch_tpu.solvers.unionfind import retain_largest_component
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def body_scan():

@@ -19,6 +19,8 @@ from multiviewstitch_tpu.pipeline.deform_render import render_stage
 from multiviewstitch_tpu.solvers.deformation import Deformer
 from multiviewstitch_tpu.solvers.unionfind import retain_largest_component
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_artifacts():

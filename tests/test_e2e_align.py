@@ -14,6 +14,8 @@ from multiviewstitch_tpu.pipeline.align_seq import (Sequence, align_sequences,
                                                     fuse_sequences)
 from multiviewstitch_tpu.ops.point_sampling import sample_oriented_points
 
+pytestmark = pytest.mark.slow
+
 
 def build_two_sequences(n_frames=4, width=128, height=96):
     gt = Similarity(jnp.asarray(1.3, jnp.float32),

@@ -9,6 +9,8 @@ from multiviewstitch_tpu.core.transforms import Similarity, inverse
 from multiviewstitch_tpu.ops.tsdf import fuse_multi_sequence, reconstruct
 from multiviewstitch_tpu.pipeline.fixtures import make_scene
 
+pytestmark = pytest.mark.slow
+
 
 def test_two_sequence_fusion_single_surface():
     gt = Similarity(jnp.asarray(1.3, jnp.float32),

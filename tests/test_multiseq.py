@@ -10,6 +10,8 @@ from multiviewstitch_tpu.pipeline.fixtures import make_scene, textured_views
 from multiviewstitch_tpu.pipeline.align_seq import Sequence, align_sequences
 from tests.test_e2e_align import CFG
 
+pytestmark = pytest.mark.slow
+
 
 def build_three_sequences(width=128, height=96):
     def rot_y(deg):

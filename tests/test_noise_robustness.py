@@ -15,6 +15,8 @@ from multiviewstitch_tpu.pipeline.align_seq import (Sequence,
                                                     align_sequences)
 from tests.test_e2e_align import build_two_sequences, CFG
 
+pytestmark = pytest.mark.slow
+
 
 def _noisy_pair(level, seed=0):
     seq1, seq2, gt, base, moved = build_two_sequences()

@@ -1,5 +1,6 @@
 import os
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -8,6 +9,8 @@ from multiviewstitch_tpu.io.srt import save_srt, load_srt
 from multiviewstitch_tpu.ops.depth_refine import refine_depth
 from multiviewstitch_tpu.pipeline.deform_render import render_stage
 from multiviewstitch_tpu.pipeline.fixtures import make_scene, uv_sphere
+
+pytestmark = pytest.mark.slow
 
 
 def test_srt_roundtrip(tmp_path):

@@ -28,6 +28,8 @@ from multiviewstitch_tpu.pipeline.align_seq import (Sequence,
                                                     match_sequence_pair)
 from tests.test_e2e_align import CFG
 
+pytestmark = pytest.mark.slow
+
 YAW_DEG = 56.0
 
 

@@ -14,6 +14,8 @@ from multiviewstitch_tpu.parallel.view_windows import (
     WindowSpec, make_window_spec, edge_window_aligned,
     check_consistency_windowed)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():
