@@ -103,15 +103,38 @@ def _smooth_jacobi(x, b, screen, iters: int, omega: float = 0.8):
     return x
 
 
+def _pair_mat(g):
+    """[g, 2g] 0/1 interleave: row i hits columns 2i and 2i+1."""
+    cols = jnp.arange(2 * g) // 2
+    return (cols[None, :] == jnp.arange(g)[:, None]).astype(jnp.float32)
+
+
 def _restrict2(x):
-    """Full-weighting restriction: 2x average pooling."""
-    G = x.shape[0]
-    return x.reshape(G // 2, 2, G // 2, 2, G // 2, 2).mean((1, 3, 5))
+    """Full-weighting restriction: 2x average pooling, as three per-axis
+    einsums against an exact 0/0.5 pairing matrix. The obvious
+    reshape(G/2,2,G/2,2,G/2,2).mean((1,3,5)) materializes a 6-D buffer
+    whose size-2 minor dims tile to T(8,128) on TPU — 64x padding, a
+    32 GB allocation at G=512 (measured OOM). Matmuls keep full-rank
+    layouts and ride the MXU; HIGHEST precision keeps the transfer
+    operator exact in f32."""
+    g = x.shape[0]
+    R = _pair_mat(g // 2).T * 0.5                       # [g, g/2]
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("zyx,zw->wyx", x, R, precision=hi)
+    x = jnp.einsum("zyx,yw->zwx", x, R, precision=hi)
+    return jnp.einsum("zyx,xw->zyw", x, R, precision=hi)
 
 
 def _prolong2(x):
-    """Piecewise-constant prolongation (cell-centered)."""
-    return jnp.repeat(jnp.repeat(jnp.repeat(x, 2, 0), 2, 1), 2, 2)
+    """Piecewise-constant prolongation (cell-centered): per-axis einsums
+    against the [g,2g] interleave (see _restrict2 for why not repeat —
+    jnp.repeat's trailing size-2 broadcast pads 64x on TPU)."""
+    g = x.shape[0]
+    P = _pair_mat(g)                                    # [g, 2g]
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("zyx,zw->wyx", x, P, precision=hi)
+    x = jnp.einsum("zyx,yw->zwx", x, P, precision=hi)
+    return jnp.einsum("zyx,xw->zyw", x, P, precision=hi)
 
 
 def _vcycle(x, b, screen, *, coarsest: int = 16, nu: int = 2):

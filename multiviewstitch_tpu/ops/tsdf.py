@@ -165,11 +165,18 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     num_v = jnp.minimum(flat_surf.sum(), max_vertices).astype(jnp.int32)
     tgt = jnp.where(flat_surf, jnp.minimum(ids, max_vertices - 1),
                     max_vertices)
-    verts = jnp.zeros((max_vertices, 3), jnp.float32).at[tgt].set(
-        world.reshape(-1, 3), mode="drop")
-    cell_zyx = jnp.stack([zz, yy, xx], -1).astype(jnp.int32)
-    cells = jnp.full((max_vertices, 3), -1, jnp.int32).at[tgt].set(
-        cell_zyx.reshape(-1, 3), mode="drop")
+    # Column-wise scatters: a [G^3,3] operand tiles to T(8,128) on TPU,
+    # padding the minor dim 3 -> 128 lanes (42x HBM expansion; the
+    # whole-volume face list at G=256 requested 51.5 GB). Flat [G^3]
+    # columns pad only to the lane boundary.
+    verts = jnp.stack(
+        [jnp.zeros((max_vertices,), jnp.float32).at[tgt].set(
+            world[..., k].reshape(-1), mode="drop") for k in range(3)], -1)
+    cell_cols = (zz, yy, xx)
+    cells = jnp.stack(
+        [jnp.full((max_vertices,), -1, jnp.int32).at[tgt].set(
+            cell_cols[k].astype(jnp.int32).reshape(-1), mode="drop")
+         for k in range(3)], -1)
 
     id_grid = ids.reshape(has_surf.shape)
     surf = has_surf
@@ -177,7 +184,7 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     # faces: for each grid edge along axis ax between voxel (i,j,k) and its
     # +ax neighbor with a sign change, connect the 4 cells sharing that edge
     cm = (Gz - 1, Gy - 1, Gx - 1)        # cells per storage axis
-    tris_idx = []
+    tri_cols = [[], [], []]              # per-column lists (see note above)
     tris_ok = []
 
     def cell_ok(ii, jj, kk):
@@ -226,20 +233,19 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
         qok = change & (q[0] >= 0) & (q[1] >= 0) & (q[2] >= 0) & (q[3] >= 0)
 
         # two triangles (q0,q1,q2) and (q0,q2,q3); flip winding by gradient
-        t1 = jnp.stack([q[0], jnp.where(flip, q[1], q[2]),
-                        jnp.where(flip, q[2], q[1])], -1)
-        t2 = jnp.stack([q[0], jnp.where(flip, q[2], q[3]),
-                        jnp.where(flip, q[3], q[2])], -1)
-        tris_idx += [t1.reshape(-1, 3), t2.reshape(-1, 3)]
+        t1c = (q[0], jnp.where(flip, q[1], q[2]), jnp.where(flip, q[2], q[1]))
+        t2c = (q[0], jnp.where(flip, q[2], q[3]), jnp.where(flip, q[3], q[2]))
+        for k in range(3):
+            tri_cols[k] += [t1c[k].reshape(-1), t2c[k].reshape(-1)]
         tris_ok += [qok.reshape(-1), qok.reshape(-1)]
 
-    tri = jnp.concatenate(tris_idx)
     tok = jnp.concatenate(tris_ok)
     fids = jnp.cumsum(tok.astype(jnp.int32)) - 1
     num_f = jnp.minimum(tok.sum(), max_faces).astype(jnp.int32)
     ftgt = jnp.where(tok, jnp.minimum(fids, max_faces - 1), max_faces)
-    faces = jnp.full((max_faces, 3), -1, jnp.int32).at[ftgt].set(
-        tri, mode="drop")
+    faces = jnp.stack(
+        [jnp.full((max_faces,), -1, jnp.int32).at[ftgt].set(
+            jnp.concatenate(tri_cols[k]), mode="drop") for k in range(3)], -1)
     return SurfaceMesh(verts, faces, num_v, num_f, cells)
 
 
