@@ -57,7 +57,61 @@ def main():
 
     results = {}
 
-    def run_case(name, seqs):
+    def stage_breakdown(seqs):
+        """Per-stage wall times (each stage synced) for one align+fuse run:
+        where does the e2e wall go after the view-synth fix (VERDICT r3
+        weak #3). Stages mirror align_sequences' internal sequencing."""
+        from multiviewstitch_tpu.pipeline.match_edges import (
+            prep_sequence, match_edges, edge_knobs, select_keyframe)
+        from multiviewstitch_tpu.pipeline.align_seq import (
+            match_sequence_pair)
+        import jax
+        t = {}
+
+        def sync(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "block_until_ready"):
+                    np.asarray(jax.device_get(leaf.ravel()[:1] if
+                                              getattr(leaf, "ndim", 0)
+                                              else leaf))
+
+        t0 = time.perf_counter()
+        preps = [prep_sequence(s, cfg) for s in seqs]
+        sync(preps)
+        t["prep_synth_detect_s"] = time.perf_counter() - t0
+
+        key = jax.random.key(0)
+        t0 = time.perf_counter()
+        ebs = []
+        for k in range(len(seqs) - 1):
+            key, sub = jax.random.split(key)
+            ebs.append(match_edges(preps[k], preps[k + 1], sub,
+                                   **edge_knobs(cfg)))
+        sync([eb.residual for eb in ebs])
+        t["edge_sweep_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for eb in ebs:
+            select_keyframe(eb, cfg.min_match_count)
+        t["select_hostpull_s"] = time.perf_counter() - t0
+
+        # full per-pair path incl. candidate host pulls + final RANSAC,
+        # minus what the stages above already cover
+        t0 = time.perf_counter()
+        key = jax.random.key(0)
+        for k in range(len(seqs) - 1):
+            key, sub = jax.random.split(key)
+            match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub,
+                                preps[k], preps[k + 1])
+        t["pair_total_s"] = time.perf_counter() - t0
+
+        res = align_sequences(seqs, cfg, seed=0)
+        t0 = time.perf_counter()
+        fuse_sequences(seqs, res, cfg)
+        t["fuse_s"] = time.perf_counter() - t0
+        return {k: round(v, 3) for k, v in t.items()}
+
+    def run_case(name, seqs, breakdown=False):
         n_frames = sum(int(s.gray.shape[0]) for s in seqs)
 
         def once():
@@ -76,13 +130,17 @@ def main():
         results[name] = {"wall_s": round(wall, 3),
                          "frames_per_s": round(n_frames / wall, 2),
                          "n_frames": n_frames}
-        print(f"{name}: {wall:.3f}s wall, {n_frames / wall:.2f} frames/s",
+        if breakdown:
+            results[name]["stages"] = stage_breakdown(seqs)
+        print(f"{name}: {wall:.3f}s wall, {n_frames / wall:.2f} frames/s"
+              + (f" stages={results[name].get('stages')}" if breakdown
+                 else ""),
               file=sys.stderr)
 
     # config-2: two sequences, 5 frames each
     seq1, seq2, gt, _, _ = build_two_sequences(n_frames=5, width=w,
                                                height=h)
-    run_case("config2_align_fuse", [seq1, seq2])
+    run_case("config2_align_fuse", [seq1, seq2], breakdown=True)
 
     # config-4 shape: 4 sequences x 4 frames = 16 views
     s1, s2, _, _, _ = build_two_sequences(n_frames=4, width=w, height=h)

@@ -163,8 +163,11 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     flat_surf = has_surf.reshape(-1)
     ids = jnp.cumsum(flat_surf.astype(jnp.int32)) - 1
     num_v = jnp.minimum(flat_surf.sum(), max_vertices).astype(jnp.int32)
-    tgt = jnp.where(flat_surf, jnp.minimum(ids, max_vertices - 1),
-                    max_vertices)
+    # overflow entries (ids >= max_vertices) route to the DROPPED index
+    # max_vertices, not a clamped last slot: the columns below scatter
+    # independently, and XLA gives no cross-scatter duplicate-resolution
+    # guarantee — a clamped slot could mix x/y/z from different cells
+    tgt = jnp.where(flat_surf & (ids < max_vertices), ids, max_vertices)
     # Column-wise scatters: a [G^3,3] operand tiles to T(8,128) on TPU,
     # padding the minor dim 3 -> 128 lanes (42x HBM expansion; the
     # whole-volume face list at G=256 requested 51.5 GB). Flat [G^3]
@@ -242,7 +245,8 @@ def surface_nets(tsdf: TSDF, *, max_vertices: int = 65536,
     tok = jnp.concatenate(tris_ok)
     fids = jnp.cumsum(tok.astype(jnp.int32)) - 1
     num_f = jnp.minimum(tok.sum(), max_faces).astype(jnp.int32)
-    ftgt = jnp.where(tok, jnp.minimum(fids, max_faces - 1), max_faces)
+    # same overflow routing as tgt above: spill to the dropped index
+    ftgt = jnp.where(tok & (fids < max_faces), fids, max_faces)
     faces = jnp.stack(
         [jnp.full((max_faces,), -1, jnp.int32).at[ftgt].set(
             jnp.concatenate(tri_cols[k]), mode="drop") for k in range(3)], -1)

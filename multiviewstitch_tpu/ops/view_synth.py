@@ -64,16 +64,23 @@ def synthesize_views(
     vv = (jnp.arange(h2, dtype=jnp.float32) - h * 0.5)
     gv, gu = jnp.meshgrid(vv, uu, indexing="ij")      # [H2,W2]
 
+    imgs_chw = jnp.moveaxis(image.astype(jnp.float32), -1, 0)  # [C,H,W]
+
+    def warp_field(Hm, gu_, gv_):
+        wf = Hm[2, 0] * gu_ + Hm[2, 1] * gv_ + Hm[2, 2]
+        uf = (Hm[0, 0] * gu_ + Hm[0, 1] * gv_ + Hm[0, 2]) / wf
+        vf = (Hm[1, 0] * gu_ + Hm[1, 1] * gv_ + Hm[1, 2]) / wf
+        return uf, vf
+
     def one_view(angle):
         Rr = rotation_about_axis(ax, angle)
         H = K @ Rr @ Kinv                             # (Image3D.cpp:144)
-        wf = H[2, 0] * gu + H[2, 1] * gv + H[2, 2]
-        uf = (H[0, 0] * gu + H[0, 1] * gv + H[0, 2]) / wf
-        vf = (H[1, 0] * gu + H[1, 1] * gv + H[1, 2]) / wf
 
-        # centering: bbox (in expanded-grid coords + offset back) of dest
-        # pixels whose source lies in range (Image3D.cpp:147-167); the eps
+        # pass 1 (elementwise + reductions only, no gathers): centering —
+        # bbox (in expanded-grid coords + offset back) of dest pixels
+        # whose source lies in range (Image3D.cpp:147-167); the eps
         # absorbs float32 roundoff in H (K@R@Kinv) at the image border
+        uf, vf = warp_field(H, gu, gv)
         eps = 1e-3
         inr = ((uf >= -eps) & (uf <= w - 1 + eps) &
                (vf >= -eps) & (vf <= h - 1 + eps))
@@ -90,48 +97,44 @@ def synthesize_views(
         offx = jnp.floor((maxu + minu) * 0.5 - (w - 1) * 0.5 + 0.5)
         offy = jnp.floor((maxv + minv) * 0.5 - (h - 1) * 0.5 + 0.5)
 
-        # bilinear sample source at (uf, vf) (Image3D.cpp:178-211), one
-        # banded MXU matmul per channel (round 3: the 4-tap advanced-index
-        # gathers over the 2x grid ran the TPU scalar path — measured
-        # 250 ms per 3-view VGA synthesis; the homography warp field is
-        # exactly the coherent-index case gather2d was built for)
-        from .gather2d import gather_image_bilinear
-        img = image.astype(jnp.float32)
-        # sanitize: wf ~ 0 rows produce inf/NaN coords; they are outside
-        # `inr` (never written) but would poison the banded gather's
-        # per-band window means
-        ufc = jnp.clip(jnp.where(jnp.isfinite(uf), uf, 0.0), 0.0, w - 1.0)
-        vfc = jnp.clip(jnp.where(jnp.isfinite(vf), vf, 0.0), 0.0, h - 1.0)
-        chans = [gather_image_bilinear(img[..., c], vfc, ufc, inr)[0]
-                 for c in range(image.shape[-1])]
-        sample = jnp.stack(chans, -1)
+        # pass 2: evaluate the warp field ONLY on the final [h,w]
+        # destination window. Window pixel (r,c) sits at expanded-grid
+        # coords (offx + c - w/2, offy + r - h/2) — offx/offy are
+        # integer-valued traced scalars, so the window field is analytic
+        # and nothing of the 2x grid is ever sampled or sliced. (Round 3
+        # sampled the full 2x grid then dynamic-sliced: 4x the gather
+        # work and ~1.5 GB of selector temporaries per frame — the
+        # config-2 HBM OOM. This pass-2 is the round-4 fix.)
+        cu = jnp.arange(w, dtype=jnp.float32) + (offx - w * 0.5)
+        cv = jnp.arange(h, dtype=jnp.float32) + (offy - h * 0.5)
+        gvw, guw = jnp.meshgrid(cv, cu, indexing="ij")    # [h,w]
+        ufw, vfw = warp_field(H, guw, gvw)
+        inrw = ((ufw >= -eps) & (ufw <= w - 1 + eps) &
+                (vfw >= -eps) & (vfw <= h - 1 + eps))
 
-        # destination write as ONE dynamic slice, not a scatter: du/dv are
-        # an exact integer TRANSLATION of the regular expanded grid
-        # (gu_abs = arange(w2), offx integer-valued), so "scatter sample
-        # to (dv,du)" == "slice the grid at (offy, offx)". The two
-        # 1.2M-element scalar-path scatters this replaces were ~2/3 of the
-        # measured 305 ms per 3-view VGA synthesis (round 3). Padding by
-        # (h, w) keeps every reachable offset in range (off ∈
-        # [-d/2, 3d/2] from the bbox-centering formula).
-        src = jnp.where(inr,
-                        jnp.floor(vf + 0.5).astype(jnp.int32) * w +
-                        jnp.floor(uf + 0.5).astype(jnp.int32),
-                        -1)                            # texIndex w/ invalid
-        sample = jnp.where(inr[..., None], sample, 0.0)
-        stack = jnp.concatenate(
-            [sample, src[..., None].astype(jnp.float32)], -1)
-        stack = jnp.pad(stack, ((h, h), (w, w), (0, 0)),
-                        constant_values=-1.0)
-        # pad fills sample channels with -1 too; they are masked by tex<0
-        # at the consumer (tex == -1 marks "no source pixel") but zero them
-        # anyway to keep image semantics
-        oy = offy.astype(jnp.int32) + h
-        ox = offx.astype(jnp.int32) + w
-        win = jax.lax.dynamic_slice(
-            stack, (oy, ox, 0), (h, w, stack.shape[-1]))
-        tex = win[..., -1].astype(jnp.int32)
-        out = jnp.where((tex >= 0)[..., None], win[..., :-1], 0.0)
+        # bilinear sample source at (ufw, vfw) (Image3D.cpp:178-211): one
+        # column-windowed banded MXU matmul shared by all channels
+        # (round 3: the 4-tap advanced-index gathers ran the TPU scalar
+        # path — measured 250 ms per 3-view VGA synthesis; the homography
+        # warp field is exactly the coherent-index case gather2d was
+        # built for). Sanitize: wf ~ 0 rows produce inf/NaN coords; they
+        # are outside `inrw` (never written) but would poison the banded
+        # gather's per-band window means.
+        from .gather2d import gather_images_bilinear
+        ufc = jnp.clip(jnp.where(jnp.isfinite(ufw), ufw, 0.0), 0.0, w - 1.0)
+        vfc = jnp.clip(jnp.where(jnp.isfinite(vfw), vfw, 0.0), 0.0, h - 1.0)
+        vals, _ = gather_images_bilinear(
+            imgs_chw, vfc, ufc, inrw,
+            window_cols=min(256, w), miss_capacity=8192)
+        sample = jnp.moveaxis(vals, 0, -1)                # [h,w,C]
+
+        # texIndex: nearest source pixel, computed analytically from the
+        # window warp field (-1 = unmapped); no gather needed
+        tex = jnp.where(inrw,
+                        jnp.floor(vfw + 0.5).astype(jnp.int32) * w +
+                        jnp.floor(ufw + 0.5).astype(jnp.int32),
+                        -1)
+        out = jnp.where((tex >= 0)[..., None], sample, 0.0)
         return out, tex
 
     imgs, tex = jax.vmap(one_view)(angles)

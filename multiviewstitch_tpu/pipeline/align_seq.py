@@ -70,9 +70,10 @@ class AlignResult:
 
 
 def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
-    """Synthesize all frames' virtual views and detect features in TWO
-    batched dispatches (vmap over frames, detect_batch over frame*view) —
-    the reference loops frames and views serially
+    """Synthesize all frames' virtual views (ONE lax.map dispatch, frames
+    sequential inside it — see the HBM note below) then detect features on
+    every (frame, view) image in one detect_batch dispatch — the reference
+    loops frames and views serially on the host
     (CalcSimilarityTransformationSeq, Processor.cpp:543-563).
 
     Returns (kps with leading dims [N, V], tex_index [N, V, H, W])."""
@@ -89,10 +90,13 @@ def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
         gray = jnp.where(fg, gray, 0.0)
     angles = view_angles(cfg.view_count, cfg.rot_angle)
     # lax.map, NOT vmap: the banded bilinear gather inside the homography
-    # resample materializes ~1.5 GB of one-hot selector temporaries per
-    # frame; vmapping over N frames keeps all of them live at once and
-    # OOMs HBM at config-2 shape (measured: 17.5 G needed vs 15.75 G on
-    # v5e). Sequential frames keep one frame's temporaries live.
+    # resample materializes large one-hot selector temporaries per frame
+    # (round 3: ~1.5 GB, which OOM'd HBM under vmap at config-2 shape —
+    # 17.5 G needed vs 15.75 G on v5e; round 4's window-only sampling +
+    # column-windowed selectors cut this to ~0.3 GB/frame, but N frames
+    # at once would still dominate HBM for long sequences). Sequential
+    # frames keep one frame's temporaries live; the per-frame device time
+    # is now small so the serialization costs little.
     sv = jax.lax.map(lambda gKR: synthesize_views(
         gKR[0][..., None], gKR[1], gKR[2], angles, axis=cfg.axis),
         (gray, seq.cams.K, seq.cams.R))

@@ -146,3 +146,63 @@ def test_static_column_tiles_match_full_width():
         jnp.asarray(src), jnp.asarray(iy.astype(np.int32)),
         jnp.asarray(ix2.astype(np.int32)), tile_cols=64, window_cols=128)
     assert not np.asarray(ok)[10, 10]
+
+
+def ref_bilinear(src, sy, sx):
+    H, W = src.shape
+    x0 = np.clip(np.floor(sx), 0, W - 2).astype(np.int64)
+    y0 = np.clip(np.floor(sy), 0, H - 2).astype(np.int64)
+    fx = np.clip(sx - x0, 0.0, 1.0)
+    fy = np.clip(sy - y0, 0.0, 1.0)
+    return (src[y0, x0] * (1 - fx) * (1 - fy) +
+            src[y0, x0 + 1] * fx * (1 - fy) +
+            src[y0 + 1, x0] * (1 - fx) * fy +
+            src[y0 + 1, x0 + 1] * fx * fy)
+
+
+def test_bilinear_multichannel_smooth_warp():
+    """gather_images_bilinear vs the exact 4-tap on a smooth warp field,
+    all channels through the shared selector, with and without column
+    windows."""
+    from multiviewstitch_tpu.ops.gather2d import gather_images_bilinear
+    H, W, C = 96, 160, 3
+    rng = np.random.default_rng(7)
+    srcs = (rng.normal(size=(C, H, W)) * 11.0 + 3.0).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    sy = np.clip(yy + 5.25 + 3.0 * np.sin(xx / 23.0), 0, H - 1)
+    sx = np.clip(xx - 7.75 + 6.0 * np.cos(yy / 17.0), 0, W - 1)
+    ref = np.stack([ref_bilinear(srcs[c], sy, sx) for c in range(C)])
+    for wc in (0, 64):
+        vals, ok = gather_images_bilinear(
+            jnp.asarray(srcs), jnp.asarray(sy), jnp.asarray(sx),
+            tile_cols=32, window_rows=32, window_cols=wc)
+        assert np.asarray(ok).all(), wc
+        scale = np.maximum(np.abs(ref), 1.0)
+        err = np.abs(np.asarray(vals) - ref) / scale
+        assert err.max() < 5e-4, (wc, err.max())  # ~2^-13: weights are bf16-split too
+
+
+def test_bilinear_valid_mask_excludes_garbage():
+    """Pixels marked invalid must not drag the window means nor flood
+    the patch capacity; valid pixels stay exact."""
+    from multiviewstitch_tpu.ops.gather2d import gather_images_bilinear
+    H, W = 64, 128
+    rng = np.random.default_rng(8)
+    src = rng.normal(size=(1, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    sy = yy.copy()
+    sx = xx.copy()
+    valid = np.ones((H, W), bool)
+    # left half: garbage coords (all clipped to a far corner), invalid
+    valid[:, : W // 2] = False
+    sy[:, : W // 2] = H - 1.0
+    sx[:, : W // 2] = W - 1.0
+    vals, ok = gather_images_bilinear(
+        jnp.asarray(src), jnp.asarray(sy), jnp.asarray(sx),
+        jnp.asarray(valid), tile_cols=32, window_rows=16,
+        window_cols=64, miss_capacity=16)
+    ok = np.asarray(ok)
+    assert ok.all()          # invalid pixels count as hits by contract
+    ref = ref_bilinear(src[0], sy, sx)
+    np.testing.assert_allclose(np.asarray(vals)[0][valid], ref[valid],
+                               atol=1e-4)
