@@ -81,24 +81,40 @@ def main():
             g, d = sensor_noise(np.asarray(s.gray), np.asarray(s.disparity),
                                 level, seed=17 + k)
             noisy.append(Sequence(jnp.asarray(g), jnp.asarray(d), s.cams))
-        try:
-            res_n = align_sequences(noisy, CFG, seed=0)
-            Tn = res_n.transforms[0]
-            dRn = np.asarray(Tn.R) @ np.asarray(gt.R).T
-            rot_n = float(np.degrees(np.arccos(
-                np.clip((np.trace(dRn) - 1) / 2, -1, 1))))
-            pts_n, _ = fuse_sequences(noisy, res_n, CFG)
-            noise_rows[str(level)] = {
-                "scale_rel_err": round(
-                    abs(float(Tn.s) - float(gt.s)) / float(gt.s), 5),
-                "rotation_err_deg": round(rot_n, 4),
-                "translation_err": round(float(np.linalg.norm(
-                    np.asarray(Tn.t) - np.asarray(gt.t))), 5),
-                "fused_cloud_rmse": round(
-                    point_to_surface_rmse(pts_n, moved.vertices), 5),
-            }
-        except RuntimeError as e:
-            noise_rows[str(level)] = {"failed": str(e)[:60]}
+        row = {}
+        # chain only vs the two refiners (VERDICT r3 item 4: record BA
+        # vs pose-graph on the ladder)
+        for label, refine in (("chain", False), ("pose_graph", True),
+                              ("ba", "ba")):
+            try:
+                res_n = align_sequences(noisy, CFG, seed=0, refine=refine)
+                Tn = res_n.transforms[0]
+                dRn = np.asarray(Tn.R) @ np.asarray(gt.R).T
+                rot_n = float(np.degrees(np.arccos(
+                    np.clip((np.trace(dRn) - 1) / 2, -1, 1))))
+                c1 = np.asarray(noisy[0].cams.centers())
+                ate_n = trajectory_ate(
+                    np.asarray(apply_points(Tn, jnp.asarray(c1))),
+                    np.asarray(apply_points(gt, jnp.asarray(c1))))
+                sub = {
+                    "scale_rel_err": round(
+                        abs(float(Tn.s) - float(gt.s)) / float(gt.s), 5),
+                    "rotation_err_deg": round(rot_n, 4),
+                    "translation_err": round(float(np.linalg.norm(
+                        np.asarray(Tn.t) - np.asarray(gt.t))), 5),
+                    "trajectory_ate": round(ate_n, 6),
+                }
+                if label == "chain":
+                    pts_n, _ = fuse_sequences(noisy, res_n, CFG)
+                    sub["fused_cloud_rmse"] = round(
+                        point_to_surface_rmse(pts_n, moved.vertices), 5)
+                if label == "ba":
+                    sub["ba_rmse_px"] = round(
+                        res_n.metrics.get("ba_rmse_px", float("nan")), 4)
+                row[label] = sub
+            except RuntimeError as e:
+                row[label] = {"failed": str(e)[:60]}
+        noise_rows[str(level)] = row
 
     print(json.dumps({
         "metric": "stitch_accuracy",

@@ -102,10 +102,15 @@ def main():
 
     t_synth = (timeit(synth_chain, img) - rt) / REPS
 
+    # gray single-channel synthesis: the shape the align pipeline pays
+    # per frame (_prep_sequence_views feeds gray[..., None])
+    t_synth_gray = (timeit(synth_chain, img[..., :1]) - rt) / REPS
+
     out = {"metric": "render_and_viewsynth_ms",
            "backend": "cpu" if args.cpu else "tpu",
            "render_ms_per_frame_100k_faces": round(t_render * 1e3, 2),
-           "viewsynth_ms_per_3view_vga": round(t_synth * 1e3, 2)}
+           "viewsynth_ms_per_3view_vga": round(t_synth * 1e3, 2),
+           "viewsynth_gray_ms_per_3view_vga": round(t_synth_gray * 1e3, 2)}
     print(json.dumps(out))
 
 

@@ -116,7 +116,8 @@ def cmd_align(args) -> int:
     # SURVEY §5.4; here the manifest makes it explicit and hash-checked)
     from .io.manifest import hash_arrays
     opts = (f"{getattr(args, 'grid', None)}:{getattr(args, 'backend', '')}:"
-            f"{getattr(args, 'write_mesh', False)}")
+            f"{getattr(args, 'write_mesh', False)}:"
+            f"{getattr(args, 'refine', None)}")
     in_hash = hash_arrays(
         cfg=np.frombuffer(repr(cfg).encode(), dtype=np.uint8),
         opts=np.frombuffer(opts.encode(), dtype=np.uint8),
@@ -351,8 +352,12 @@ def main(argv=None) -> int:
     a = sub.add_parser("align", parents=[common, recon])
     a.add_argument("--force", action="store_true",
                    help="recompute even if the manifest says up to date")
-    a.add_argument("--refine", action="store_true",
-                   help="global pose-graph refinement over all matches")
+    a.add_argument("--refine", nargs="?", const="pose_graph",
+                   default=None, choices=("pose_graph", "ba"),
+                   help="view-graph refinement: bare --refine = global "
+                        "similarity pose graph over all matches; "
+                        "--refine ba = reprojection bundle adjustment "
+                        "over keyframe cameras + merged pixel tracks")
     a.add_argument("--debug-artifacts", action="store_true",
                    help="dump match visualizations to <workdir>/Match/")
     a.set_defaults(fn=cmd_align)
@@ -367,7 +372,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", parents=[common, recon])
     p.add_argument("--passes", type=int, default=2)
     p.add_argument("--force", action="store_true")
-    p.add_argument("--refine", action="store_true")
+    p.add_argument("--refine", nargs="?", const="pose_graph",
+                   default=None, choices=("pose_graph", "ba"))
     p.set_defaults(fn=cmd_pipeline)
 
     b = sub.add_parser("bench", parents=[common])

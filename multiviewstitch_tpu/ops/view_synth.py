@@ -125,7 +125,7 @@ def synthesize_views(
         vfc = jnp.clip(jnp.where(jnp.isfinite(vfw), vfw, 0.0), 0.0, h - 1.0)
         vals, _ = gather_images_bilinear(
             imgs_chw, vfc, ufc, inrw,
-            window_cols=min(256, w), miss_capacity=8192)
+            window_cols=min(192, w), miss_capacity=4096)
         sample = jnp.moveaxis(vals, 0, -1)                # [h,w,C]
 
         # texIndex: nearest source pixel, computed analytically from the

@@ -286,16 +286,22 @@ def match_sequence_pair_loop(
 
 
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
-                    seed: int = 0, refine: bool = False,
+                    seed: int = 0, refine=False,
                     all_pairs: bool = False,
                     debug_dir: str = None, mesh=None) -> AlignResult:
     """Chain all sequences into the last sequence's frame
     (CalcSimilarityTransformationSeq loop, Processor.cpp:629-833).
 
-    With refine=True, the greedy chain initializes a global similarity
-    pose-graph solve over ALL surviving matches of all pairs
-    (solvers/pose_graph.py) — the view-graph refinement the reference
-    lacks (SURVEY §7 step 6)."""
+    ``refine`` selects the view-graph refinement the reference lacks
+    (SURVEY §7 step 6):
+      - False: greedy chain only (the reference's behavior,
+        Processor.cpp:813-826)
+      - True or "pose_graph": global similarity pose-graph solve over ALL
+        surviving 3D-3D matches (solvers/pose_graph.py)
+      - "ba": reprojection bundle adjustment over keyframe cameras and
+        union-find-merged pixel tracks (pipeline/ba_refine.py,
+        solvers/ba.py; sharded over ``mesh`` when given)
+    initialized from the greedy chain either way."""
     from .match_edges import prep_sequence
     key = jax.random.key(seed)
     # per-sequence feature/unprojection prep is hoisted out of the pair
@@ -339,12 +345,10 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     result = AlignResult(transforms, keyframes, residuals)
 
     if refine and len(seqs) > 1:
-        from ..solvers.pose_graph import build_data, refine_pose_graph
-        pairs = []
-        for k, cands in all_candidates:
-            for c in cands:
-                if c.num_matches >= cfg.min_match_count:
-                    pairs.append((k, k + 1, c.p1, c.p2, c.mask))
+        mode = "pose_graph" if refine is True else str(refine)
+        cand_pairs = [(k, k + 1, c) for k, cands in all_candidates
+                      for c in cands
+                      if c.num_matches >= cfg.min_match_count]
         if all_pairs:
             # densify the view graph with skip edges (k, l>k+1): the
             # reference only ever links consecutive sequences
@@ -359,10 +363,16 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                             mesh=mesh)
                     except RuntimeError:
                         continue
-                    for c in cands:
-                        if c.num_matches >= cfg.min_match_count:
-                            pairs.append((k, l, c.p1, c.p2, c.mask))
-        if pairs:
+                    cand_pairs += [(k, l, c) for c in cands
+                                   if c.num_matches >= cfg.min_match_count]
+        if cand_pairs and mode == "ba":
+            from .ba_refine import refine_with_ba
+            refined, metrics = refine_with_ba(
+                seqs, cand_pairs, transforms, mesh=mesh)
+            result = AlignResult(refined, keyframes, residuals, metrics)
+        elif cand_pairs:
+            from ..solvers.pose_graph import build_data, refine_pose_graph
+            pairs = [(k, l, c.p1, c.p2, c.mask) for k, l, c in cand_pairs]
             data = build_data(pairs, max_matches=cfg.max_matches)
             refined, rmse = refine_pose_graph(transforms, data)
             result = AlignResult(refined, keyframes, residuals,
