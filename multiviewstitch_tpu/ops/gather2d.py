@@ -423,6 +423,15 @@ def gather_images_bilinear(srcs: jnp.ndarray, sy: jnp.ndarray,
     vals = jax.vmap(unbandify)(vals)
     in_win = unbandify(in_win)
 
+    if miss_capacity == 0:
+        # no patch-up: callers treat ok=False pixels as unmapped. The
+        # patch machinery below costs FIVE full-grid scatters per call
+        # (~307k scattered elements each at VGA — the TPU scalar path)
+        # whether or not any miss exists; skipping it is the round-4
+        # view-synthesis lever (misses are ~0 for coherent warps, and
+        # synthesize_views marks the rest invalid in texIndex).
+        return vals, in_win
+
     # exact scalar patch-up for out-of-window pixels (capacity-bounded)
     x0c, y0c, fxc, fyc = x0u, y0u, fxu, fyu
     miss = (~in_win).reshape(-1)

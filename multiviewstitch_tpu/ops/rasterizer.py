@@ -4,22 +4,23 @@ Re-design of Model2Depth.{h,cpp}: the reference renders the deformed mesh
 with fixed-function OpenGL per (sequence, frame), reads back the z-buffer
 and stores eye-space disparity ``1/z_e`` rasters (RenderDepth,
 Model2Depth.cpp:118-156, z formula 134-140). That needs a GLUT window and a
-GPU context; here rasterization is a jitted scatter-max over triangle
-tiles, fully on-device ("Model2Depth re-rendering fused on-device" per
-BASELINE's north star):
+GPU context; here rasterization is fully on-device ("Model2Depth
+re-rendering fused on-device" per BASELINE's north star):
 
   1. project vertices through the pinhole camera (continuous pixel coords)
-  2. per triangle: fixed-size pixel tile anchored at its bbox corner,
-     edge-function coverage + screen-space linear interpolation of 1/z
-     (exact perspective-correct interpolation for disparity)
-  3. z-test = scatter-max of disparity into the image (nearest surface has
-     the largest 1/z), chunked over faces with a `lax.scan` carry.
+  2. the small-face bulk (bbox < `tile`) renders SCATTER-FREE through a
+     sort-binned tile pass (_raster_tiled): one device sort bins faces to
+     ts x ts image tiles, row-gathers pack each tile's face records, and
+     the z-test is a dense masked max over the tile's pixels on the VPU
+     — TPU scatters run on the scalar path at ~6 ns/element and were 77
+     of the round-3 80 ms/frame
+  3. bigger faces walk a compacted scatter-max tile ladder with spill
+     chaining; edge-function coverage + screen-space linear interpolation
+     of 1/z everywhere (exact perspective-correct disparity).
 
-Static shapes throughout: two passes with tile sizes `tile` (small faces)
-and `tile_large` handle everything up to `tile_large` px bounding boxes.
-Faces larger than that (close-up cameras — the reference's GL path
-rasterizes any triangle, Model2Depth.cpp:58-79) are COMPACTED into a
-fixed-capacity buffer and rasterized with full-frame coverage in a third
+Faces larger than `tile_large` (close-up cameras — the reference's GL
+path rasterizes any triangle, Model2Depth.cpp:58-79) are COMPACTED into a
+fixed-capacity buffer and rasterized with full-frame coverage in a final
 pass, so they render exactly; only faces beyond `overflow_capacity` are
 counted in `overflow` (round-2 verdict: a counter alone silently dropped
 geometry). Output matches the reference's convention: disparity 1/z_cam,
@@ -160,6 +161,117 @@ def _raster_pass_fullframe(uvz, faces, face_ok, h, w, zbuf, chunk):
     return zbuf
 
 
+def _raster_tiled(uvz, faces, face_ok, h, w, zbuf_flat, *,
+                  ts: int = 16, chunk: int = 8192):
+    """Tile-local rasterization for faces with bbox < ts (round 4).
+
+    Replaces the per-face scatter-max sweep for the small-face bulk. TPU
+    scatter-max of scalar PIXELS costs ~6 ns/element on the scalar unit
+    (~77 of the round-3 80 ms/frame: every face paid its pass's full
+    tile^2 slots), but on-chip probes show ROW scatters (aligned minor
+    dim) and dense elementwise eval are ~free. So: each face emits its
+    <=4 touched ts x ts image tiles (a face with bbox < ts overlaps at
+    most 2x2 tiles); each (face, tile) candidate evaluates edge-function
+    coverage + disparity over that tile's ts*ts pixel block and
+    scatter-maxes ONE [ts*ts]-lane row into a [T+1, ts*ts] tile buffer
+    (duplicate tile rows combine by the scatter's max). No sort, no
+    per-tile capacity, no spill: work scales with face count, not tile
+    occupancy, so silhouette-dense tiles (measured 2.7k faces/tile on
+    the 100k-face sphere) cost the same as uniform ones. Candidates stay
+    in face order, so face records need no gather at all.
+
+    Returns (zbuf_flat updated via elementwise max, spill_mask [F] —
+    always all-False; kept for the caller's ladder-chaining interface)."""
+    nf = faces.shape[0]
+    u, v, invz = uvz[:, 0], uvz[:, 1], uvz[:, 2]
+    f = faces
+    ua, va, za = u[f], v[f], invz[f]                      # [F,3]
+    minu = jnp.min(ua, axis=1)
+    minv = jnp.min(va, axis=1)
+    maxu = jnp.max(ua, axis=1)
+    maxv = jnp.max(va, axis=1)
+    # visible-tile grid (ceil); faces fully offscreen get no valid tile
+    ntx = -(-w // ts)
+    nty = -(-h // ts)
+    T = nty * ntx
+    P = ts * ts
+
+    tx0 = jnp.floor(minu / ts).astype(jnp.int32)
+    ty0 = jnp.floor(minv / ts).astype(jnp.int32)
+    tx1 = jnp.floor(maxu / ts).astype(jnp.int32)
+    ty1 = jnp.floor(maxv / ts).astype(jnp.int32)
+
+    def tile_id(ty, tx, extra_ok):
+        ok = (face_ok & extra_ok & (tx >= 0) & (tx < ntx) &
+              (ty >= 0) & (ty < nty))
+        return jnp.where(ok, ty * ntx + tx, T)            # T = dropped row
+
+    cands = [
+        tile_id(ty0, tx0, jnp.ones_like(face_ok)),
+        tile_id(ty0, tx1, tx1 != tx0),
+        tile_id(ty1, tx0, ty1 != ty0),
+        tile_id(ty1, tx1, (tx1 != tx0) & (ty1 != ty0)),
+    ]                                                     # 4 x [F]
+
+    dy, dx = jnp.meshgrid(jnp.arange(ts, dtype=jnp.float32),
+                          jnp.arange(ts, dtype=jnp.float32), indexing="ij")
+    dxr = dx.ravel()[None]                                # [1,P]
+    dyr = dy.ravel()[None]
+
+    # pad face count to a chunk multiple; padded rows carry tile T
+    pad = (-nf) % chunk
+    def padf(a, fill=0.0):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+    uaP, vaP, zaP = padf(ua), padf(va), padf(za)
+    nrows = (nf + pad) // chunk
+
+    def split(a):
+        return a.reshape(nrows, chunk, *a.shape[1:])
+    uaC, vaC, zaC = split(uaP), split(vaP), split(zaP)
+    candC = [split(padf(c, T)) for c in cands]            # 4 x [R,chunk]
+
+    zb2d = jnp.zeros((T + 1, P), jnp.float32)
+
+    def body(zb, inp):
+        au, av, az, t0, t1, t2, t3 = inp                  # [C,3] x3, [C] x4
+        area = ((au[:, 1] - au[:, 0]) * (av[:, 2] - av[:, 0]) -
+                (av[:, 1] - av[:, 0]) * (au[:, 2] - au[:, 0]))[:, None]
+        denom = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+        for tid in (t0, t1, t2, t3):
+            px = ((tid % ntx) * ts).astype(jnp.float32)[:, None] + dxr
+            py = ((tid // ntx) * ts).astype(jnp.float32)[:, None] + dyr
+
+            def edge(i, j):
+                return ((au[:, j] - au[:, i])[:, None] *
+                        (py - av[:, i][:, None]) -
+                        (av[:, j] - av[:, i])[:, None] *
+                        (px - au[:, i][:, None]))
+
+            e0 = edge(0, 1)
+            e1 = edge(1, 2)
+            e2 = edge(2, 0)                               # [C,P]
+            inside = jnp.where(
+                area >= 0,
+                (e0 >= 0) & (e1 >= 0) & (e2 >= 0),
+                (e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+            disp = (e1 / denom * az[:, 0:1] + e2 / denom * az[:, 1:2] +
+                    e0 / denom * az[:, 2:3])
+            okp = (inside & (jnp.abs(area) > 1e-12) & (disp > 0) &
+                   (px <= w - 1) & (py <= h - 1))
+            zb = zb.at[jnp.minimum(tid, T)].max(
+                jnp.where(okp, disp, 0.0), mode="drop")
+        return zb, None
+
+    zb2d, _ = jax.lax.scan(
+        body, zb2d, (uaC, vaC, zaC, *candC))
+    # [T, P] -> padded image -> crop; then fold into the flat zbuf
+    img = (zb2d[:T].reshape(nty, ntx, ts, ts).transpose(0, 2, 1, 3)
+           .reshape(nty * ts, ntx * ts)[:h, :w])
+    zbuf_flat = zbuf_flat.at[:h * w].max(img.ravel())
+    return zbuf_flat, jnp.zeros((nf,), bool)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile", "tile_large",
                                    "chunk", "znear", "overflow_capacity"))
 def render_disparity(
@@ -197,22 +309,20 @@ def render_disparity(
           jnp.clip(jnp.min(va, axis=1), 0, height - 1))
     bb = jnp.maximum(bw, bh)
 
-    # Tile ladder with SPILL CHAINING (round 3). Scatter-max work is
-    # index-count-bound, not valid-count-bound, so every face pays its
-    # pass's full tile^2 slots — the base pass must be the cheapest tile
-    # that covers the bulk (fine meshes: 1-4 px faces, 8^2 slots), and
-    # every bigger class is COMPACTED to a fixed capacity behind a
-    # lax.cond (an all-small mesh pays nothing for them). A class that
-    # overflows its capacity SPILLS the excess to the next-larger pass
-    # (a t-tile pass is exact for any face with bbox < t-1, so spilling
-    # upward is always correct); only the final full-frame pass counts
-    # drops. (History: one tile_large sweep over all faces was 15.3
-    # s/frame on v5e for a mesh with ZERO large faces; a t16 base sweep
-    # measured 243 ms for 100k 3-px faces — 256 slots each.)
+    # Round 4: the small-face BULK renders through the sort-binned tiled
+    # pass (_raster_tiled — no scatters; on-chip probes: sort/row-gather/
+    # dense-eval are ~free while scatter-max costs ~6 ns/element, which
+    # made the old t8 base sweep 77 of the 80 ms/frame). Larger classes
+    # keep the round-3 compacted scatter ladder with SPILL CHAINING:
+    # every class is COMPACTED to a fixed capacity behind a lax.cond (an
+    # all-small mesh pays nothing), a class that overflows spills upward
+    # (a t-tile pass is exact for any face with bbox < t-1), and only the
+    # final full-frame pass counts drops. Tile-pass capacity overflows
+    # spill into the first ladder rung the same way.
     zbuf = jnp.zeros((height * width + 1,), jnp.float32)
-    base = min(tile, 8)
-    zbuf = _raster_pass(uvz, f, ok & (bb < base - 1), height, width, base,
-                        zbuf, min(4 * chunk, max(f.shape[0], 8)))
+    base = max(tile, 8)
+    zbuf, spill0 = _raster_tiled(uvz, f, ok & (bb < base - 1), height,
+                                 width, zbuf, ts=base)
 
     def compact(sel, cap):
         pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -235,7 +345,7 @@ def render_disparity(
         ladder.append(t)
         t *= 2
     ladder.append(tile_large)
-    spill = jnp.zeros_like(ok)
+    spill = spill0
     lower = bb < base - 1
     for t in ladder:
         cls = ok & ~lower & (bb < t - 1)

@@ -123,14 +123,23 @@ def synthesize_views(
         from .gather2d import gather_images_bilinear
         ufc = jnp.clip(jnp.where(jnp.isfinite(ufw), ufw, 0.0), 0.0, w - 1.0)
         vfc = jnp.clip(jnp.where(jnp.isfinite(vfw), vfw, 0.0), 0.0, h - 1.0)
-        vals, _ = gather_images_bilinear(
-            imgs_chw, vfc, ufc, inrw,
-            window_cols=min(192, w), miss_capacity=4096)
+        # tile_cols=64 keeps the per-tile warp span inside the windows at
+        # extreme angles (56 deg yaw x wide FOV: the y-span across a tile
+        # scales with its width); window_rows=64 is free on the MXU (the
+        # 2*WY output lanes pad to 128 either way)
+        vals, okg = gather_images_bilinear(
+            imgs_chw, vfc, ufc, inrw, tile_cols=64,
+            window_rows=64, window_cols=min(192, w), miss_capacity=0)
         sample = jnp.moveaxis(vals, 0, -1)                # [h,w,C]
 
         # texIndex: nearest source pixel, computed analytically from the
-        # window warp field (-1 = unmapped); no gather needed
-        tex = jnp.where(inrw,
+        # window warp field (-1 = unmapped); no gather needed. Pixels the
+        # banded gather could not cover (okg False — incoherent warp
+        # corners beyond the row/column windows, ~0 at product angles)
+        # are honestly unmapped instead of scalar-patched: the patch-up's
+        # five full-grid scatters per view cost more than the entire
+        # gather (round-4 measurement).
+        tex = jnp.where(inrw & okg,
                         jnp.floor(vfw + 0.5).astype(jnp.int32) * w +
                         jnp.floor(ufw + 0.5).astype(jnp.int32),
                         -1)

@@ -95,11 +95,15 @@ def test_nonrigid_fit_to_reconstruction(loop_artifacts):
 def test_render_refine_loop(loop_artifacts):
     scene, scan_v, scan_f = loop_artifacts
     # re-render model depth for every frame, then refine measured depths
+    rm = {}
     outs = render_stage(scan_v, scan_f, [Similarity.identity()],
-                        [scene.cams])
+                        [scene.cams],
+                        measured_disparity=[scene.disparity], metrics=rm)
     model_disp = outs[0]
     both = (model_disp > 0) & (scene.disparity > 0)
     assert both.mean() > 0.05
+    assert rm["render_coverage"] > 0.05, rm
+    assert rm["measured_overlap"] > 0.85, rm
     # rendered model depth close to measured (same surface)
     rel = np.abs(model_disp[both] - scene.disparity[both]) / \
         scene.disparity[both]

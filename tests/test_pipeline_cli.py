@@ -59,13 +59,19 @@ def test_render_stage_roundtrip(tmp_path):
     # the fixture renderer's output
     scene = make_scene(n_frames=2, width=96, height=72, bumps=0.0,
                        n_lat=48, n_lon=64)
+    rm = {}
     outs = render_stage(scene.vertices, scene.faces,
                         [Similarity.identity()], [scene.cams],
-                        out_dirs=[str(tmp_path)])
+                        out_dirs=[str(tmp_path)],
+                        measured_disparity=[scene.disparity], metrics=rm)
     got = outs[0]
     ref = scene.disparity
     both = (got > 0) & (ref > 0)
     assert both.mean() > 0.05
+    # coverage metric floors (VERDICT r3 item 8): the render must cover
+    # the frame substantially and nearly all of the measured foreground
+    assert rm["render_coverage"] > 0.05, rm
+    assert rm["measured_overlap"] > 0.9, rm
     np.testing.assert_allclose(got[both], ref[both], rtol=1e-3)
     assert os.path.exists(str(tmp_path / "DATA" / "Render" / "_depth0.raw"))
 
