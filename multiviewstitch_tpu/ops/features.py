@@ -183,32 +183,62 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
     rows = (offs + row0)[:, None] + jnp.arange(_WS)[None]  # [K,WS]
     win = jnp.concatenate([gx_atlas[rows], gy_atlas[rows]], 1)  # [K,2WS,W]
 
-    # absolute x bilinear taps (edge-clamped exactly like the old path)
+    # column window [xbase, xbase + _WS): every sample offset is bounded
+    # by ~23 level px (orientation: 7.5 * 2.83-max spacing; descriptor:
+    # 7.5 * sqrt(2) * 0.75 * 2.83), so a _WS-wide window centered on the
+    # keypoint always contains both bilinear taps. Round 4: the full-W
+    # interpolation operand was [K,S,W] f32 (~380 MB per 8xVGA call) and
+    # dominated the orientation/descriptor stages; the window build is
+    # one exact 0/1 selector matmul and shrinks it 10x.
+    xbase = jnp.clip(cx.astype(jnp.int32) - _WS // 2, 0,
+                     jnp.maximum(Wl - _WS, 0))           # [K]
+    wcols = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    ccols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WS), 2)
+    colsel = (wcols == xbase[:, None, None] + ccols).astype(jnp.bfloat16)
+
+    # absolute x bilinear taps (edge-clamped exactly like the old path),
+    # window-relative
     sx = cx[:, None] + dx
     x0 = jnp.clip(sx.astype(jnp.int32), 0,
                   jnp.maximum(Wl - 2, 0)[:, None])
     x0 = jnp.maximum(x0, 0)
     fx = jnp.clip(sx - x0, 0.0, 1.0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-    A = (jnp.where(cols == x0[..., None], 1.0 - fx[..., None], 0.0) +
-         jnp.where(cols == x0[..., None] + 1, fx[..., None], 0.0))
+    rel = jnp.clip(x0 - xbase[:, None], 0, _WS - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WS), 2)
+    A = (jnp.where(cols == rel[..., None], 1.0 - fx[..., None], 0.0) +
+         jnp.where(cols == rel[..., None] + 1, fx[..., None], 0.0))
 
-    def matmul(a, b, prec):          # [K,S,W] @ [K,R,W] -> [K,S,R]
+    def matmul(a, b, prec):          # [K,S,C] @ [K,R,C] -> [K,S,R]
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
+    def colwin(w_part):              # [K,2WS,W] bf16 @ [K,W,WS] -> f32
+        return jax.lax.dot_general(
+            w_part, colsel,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [K,2WS,WS]
+
     if mode == "exact":
-        res = matmul(A, win, jax.lax.Precision.HIGHEST)
-    elif mode == "split2":
+        # exact f32 column window via hi/lo exact selector passes
         hi_w = win.astype(jnp.bfloat16)
         lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
+        winc = colwin(hi_w) + colwin(lo_w)
+        res = matmul(A, winc, jax.lax.Precision.HIGHEST)
+    elif mode == "split2":
+        # 0/1 bf16 selector x bf16 values in f32 accumulation is exact,
+        # so the windowed hi/lo parts recast to bf16 losslessly
+        hi_w = win.astype(jnp.bfloat16)
+        lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
+        winc_hi = colwin(hi_w).astype(jnp.bfloat16)
+        winc_lo = colwin(lo_w).astype(jnp.bfloat16)
         both = matmul(A.astype(jnp.bfloat16),
-                      jnp.concatenate([hi_w, lo_w], 1),
+                      jnp.concatenate([winc_hi, winc_lo], 1),
                       jax.lax.Precision.DEFAULT)         # [K,S,4WS]
         res = both[..., :2 * _WS] + both[..., 2 * _WS:]
     else:
-        res = matmul(A, win, jax.lax.Precision.DEFAULT)
+        res = matmul(A, colwin(win.astype(jnp.bfloat16)),
+                     jax.lax.Precision.DEFAULT)
 
     # y-interp: weighted row reduction over the window rows
     ry = jnp.clip(cy[:, None] + dy - row0[:, None].astype(jnp.float32),
@@ -451,7 +481,14 @@ def detect_and_describe(
                                   8.0 / oh)
             resp = jnp.where(mm[None] > 0, resp, -jnp.inf)
             kk = max_keypoints
-            score, flat = jax.lax.top_k(resp.reshape(-1), kk)
+            # per-octave CANDIDATE selection: approx_max_k rides the TPU's
+            # PartialReduce op instead of a full sort over ~1M responses
+            # (exact top_k measured ~10 of the 14.6 ms extrema stage).
+            # recall_target=0.99: at most ~1% of borderline candidates
+            # swap for near-equal-score ones; the FINAL cross-octave
+            # selection below stays exact. Deterministic either way.
+            score, flat = jax.lax.approx_max_k(
+                resp.reshape(-1), kk, recall_target=0.99)
             per = oh * ow
             sflat = flat % per
             sidx = flat // per
