@@ -322,6 +322,12 @@ def reconstruct_poisson(points: np.ndarray, normals: np.ndarray,
                 jnp.roll(occ, 1, ax), jnp.roll(occ, -1, ax)))
 
     if grid <= 256:
-        verts, faces, _ = _extract_mesh(field, occ, origin, spacing)
+        # caps sized for a fully-occupied 256^3 surface (round 4: the
+        # 65536 default silently truncated the depth-8 bench mesh at
+        # EXACTLY the cap; the slab path extracted 198k vertices from
+        # the same field)
+        verts, faces, _ = _extract_mesh(field, occ, origin, spacing,
+                                        max_vertices=1 << 19,
+                                        max_faces=1 << 20)
         return verts, faces
     return _extract_mesh_slabs(field, occ, origin, spacing)

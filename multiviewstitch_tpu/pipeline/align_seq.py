@@ -381,6 +381,19 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     return result
 
 
+@jax.jit
+def _fuse_one(points, valid_in, normals, cams, s, R, t):
+    """Visibility filter + similarity transform for one sequence, ONE
+    dispatch (the bare vmap/einsum chain ran eagerly — per-op dispatch
+    round trips were most of the measured fuse stage, round-4 e2e
+    breakdown)."""
+    valid = jax.vmap(lambda p, v: visibility_filter(p, v, cams))(
+        points, valid_in)
+    pts = s * jnp.einsum("ij,nj->ni", R, points.reshape(-1, 3)) + t
+    nrm = jnp.einsum("ij,nj->ni", R, normals.reshape(-1, 3))
+    return pts, nrm, valid.reshape(-1)
+
+
 def fuse_sequences(seqs: List[Sequence], result: AlignResult,
                    cfg: StitchConfig):
     """Consistency-check depths, sample oriented points per sequence,
@@ -399,11 +412,9 @@ def fuse_sequences(seqs: List[Sequence], result: AlignResult,
         T = result.transforms[k]
         # all frames in one dispatch + ONE host pull per sequence (the
         # per-frame loop cost a device round trip per frame)
-        valid = jax.vmap(lambda p, v: visibility_filter(p, v, seq.cams))(
-            op.points, op.valid)
-        pts = apply_points(T, op.points.reshape(-1, 3))
-        nrm = rotate_normals(T, op.normals.reshape(-1, 3))
-        v = np.asarray(valid).reshape(-1)
+        pts, nrm, v = _fuse_one(op.points, op.valid, op.normals, seq.cams,
+                                T.s, T.R, T.t)
+        v = np.asarray(v)
         all_pts.append(np.asarray(pts)[v])
         all_nrm.append(np.asarray(nrm)[v])
     return np.concatenate(all_pts), np.concatenate(all_nrm)

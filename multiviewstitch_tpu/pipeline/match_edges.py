@@ -65,14 +65,24 @@ class EdgeBatch(NamedTuple):
     num_matches: jnp.ndarray  # [E] int32 surviving match count
 
 
+@jax.jit
+def _unproject_batch(cams, disp, min_dsp, max_dsp):
+    # jitted: the bare vmap dispatched every primitive eagerly — dozens of
+    # per-op round trips through the tunnel dominated the measured prep
+    # stage (round-4 e2e breakdown)
+    return jax.vmap(
+        lambda cam, d: unproject_depth_map(cam, d, min_dsp, max_dsp)
+    )(cams, disp)
+
+
 def prep_sequence(seq, cfg: StitchConfig) -> SequencePrep:
     """Features + texIndex + unprojection maps for one sequence (two batched
     dispatches: view synthesis/detection, unprojection)."""
     from .align_seq import _prep_sequence_views
     kp, tex = _prep_sequence_views(seq, cfg)
-    pts, pmask = jax.vmap(
-        lambda cam, d: unproject_depth_map(cam, d, cfg.min_dsp, cfg.max_dsp)
-    )(seq.cams, seq.disparity)
+    pts, pmask = _unproject_batch(seq.cams, seq.disparity,
+                                  jnp.float32(cfg.min_dsp),
+                                  jnp.float32(cfg.max_dsp))
     return SequencePrep(kp.desc, kp.valid, kp.uv, tex, seq.gray,
                         pts, pmask, seq.cams)
 
