@@ -94,7 +94,8 @@ def main():
     @jax.jit
     def synth_chain(im):
         def body(carry, _):
-            sv = synthesize_views(carry, K, jnp.eye(3), angles)
+            sv = synthesize_views(carry, K, jnp.eye(3), angles,
+                                  max_angle_deg=16.0)
             s = sv.images.sum()
             return carry + s * 1e-20, s
         out, _ = jax.lax.scan(body, im, None, length=REPS)

@@ -97,8 +97,10 @@ def _prep_sequence_views(seq: Sequence, cfg: StitchConfig):
     # at once would still dominate HBM for long sequences). Sequential
     # frames keep one frame's temporaries live; the per-frame device time
     # is now small so the serialization costs little.
+    max_deg = float(cfg.rot_angle) * (cfg.view_count // 2)
     sv = jax.lax.map(lambda gKR: synthesize_views(
-        gKR[0][..., None], gKR[1], gKR[2], angles, axis=cfg.axis),
+        gKR[0][..., None], gKR[1], gKR[2], angles, axis=cfg.axis,
+        max_angle_deg=max_deg),
         (gray, seq.cams.K, seq.cams.R))
     margins = (cfg.hl_margin_ratio, cfg.hr_margin_ratio,
                cfg.vl_margin_ratio, cfg.vr_margin_ratio)
