@@ -98,7 +98,13 @@ def main():
     def body_scene(transform):
         verts = posed.astype(np.float32)
         center = verts.mean(0)
+        # focal framing the ~1.8-unit body to ~45% of the portrait frame
+        # (the default 120 px focal left it at <1% pixel coverage; 3/4
+        # framing made the FOV so narrow that 17-deg inter-frame steps
+        # broke matchability — align degraded to 4% scale error)
+        fl = 0.25 * h * 2.8 / 1.8
         cams = ring_cameras(n, radius=2.8, width=w, img_height=h,
+                            length_focal=float(fl),
                             look_at=tuple(center.tolist()),
                             height=float(center[1]), arc_deg=120.0)
         if transform is not None:
