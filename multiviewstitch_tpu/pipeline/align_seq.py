@@ -162,11 +162,10 @@ def match_sequence_pair(
     nm_h = np.asarray(nm)
     elig = np.nonzero(nm_h >= 3)[0]
     sel = jnp.asarray(elig.astype(np.int32))
-    uv1_h = np.asarray(eb.uv1[sel])
-    uv2_h = np.asarray(eb.uv2[sel])
-    p1_h = np.asarray(eb.p1[sel])
-    p2_h = np.asarray(eb.p2[sel])
-    mask_h = np.asarray(eb.mask[sel])
+    # ONE host round trip for all five per-edge arrays (each np.asarray
+    # blocks a full ~27 ms tunnel round trip; round-4 e2e breakdown)
+    uv1_h, uv2_h, p1_h, p2_h, mask_h = jax.device_get(
+        (eb.uv1[sel], eb.uv2[sel], eb.p1[sel], eb.p2[sel], eb.mask[sel]))
     candidates: List[PairCandidate] = []
     best: Optional[PairCandidate] = None
     for k, e in enumerate(elig):
@@ -414,9 +413,9 @@ def fuse_sequences(seqs: List[Sequence], result: AlignResult,
         T = result.transforms[k]
         # all frames in one dispatch + ONE host pull per sequence (the
         # per-frame loop cost a device round trip per frame)
-        pts, nrm, v = _fuse_one(op.points, op.valid, op.normals, seq.cams,
-                                T.s, T.R, T.t)
-        v = np.asarray(v)
-        all_pts.append(np.asarray(pts)[v])
-        all_nrm.append(np.asarray(nrm)[v])
+        pts, nrm, v = jax.device_get(
+            _fuse_one(op.points, op.valid, op.normals, seq.cams,
+                      T.s, T.R, T.t))      # one round trip, not three
+        all_pts.append(pts[v])
+        all_nrm.append(nrm[v])
     return np.concatenate(all_pts), np.concatenate(all_nrm)

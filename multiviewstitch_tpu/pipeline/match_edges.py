@@ -196,8 +196,9 @@ def select_keyframe(edges: EdgeBatch, min_match_count: int
     with >= min_match_count surviving matches. ONE host sync (two [E]
     vectors). Raises like the reference (Processor.cpp:794-800) if no edge
     qualifies."""
-    nm = np.asarray(edges.num_matches)
-    res = np.asarray(edges.residual)
+    # one host round trip for both [E] vectors
+    nm, res = map(np.asarray,
+                  jax.device_get((edges.num_matches, edges.residual)))
     elig = nm >= min_match_count
     if not elig.any():
         raise RuntimeError(
