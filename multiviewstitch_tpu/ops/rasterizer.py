@@ -321,8 +321,13 @@ def render_disparity(
     # spill into the first ladder rung the same way.
     zbuf = jnp.zeros((height * width + 1,), jnp.float32)
     base = max(tile, 8)
-    zbuf, spill0 = _raster_tiled(uvz, f, ok & (bb < base - 1), height,
-                                 width, zbuf, ts=base)
+    # ts=8 tiles for the finest class (bbox < 7): 64-pixel blocks per
+    # candidate, 4x less dense-eval work than ts=16 (A/B on the 100k
+    # 3-px-face sphere: 10.3 vs 14.5 ms). The mid class (7 <= bbox <
+    # base-1) runs a COMPACTED, cond-gated ts=base tiled pass below, so
+    # an all-small mesh pays nothing for it.
+    zbuf, spill0 = _raster_tiled(uvz, f, ok & (bb < 7), height,
+                                 width, zbuf, ts=8, chunk=16384)
 
     def compact(sel, cap):
         pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -339,13 +344,21 @@ def render_disparity(
                             lambda zb: run(zb, fsel, oksel),
                             lambda zb: zb, zbuf), spilled
 
+    # mid class through the tiled pass too (compacted + gated); overflow
+    # beyond the cap spills to the scatter ladder like any other class
+    mid_cap = min(f.shape[0], 16384)
+    zbuf, spill_mid = gated_pass(
+        zbuf, ok & (bb >= 7) & (bb < base - 1), mid_cap,
+        lambda zb, fs, os_: _raster_tiled(uvz, fs, os_, height, width, zb,
+                                          ts=base, chunk=8192)[0])
+
     ladder = []
     t = 2 * base
     while t < tile_large:
         ladder.append(t)
         t *= 2
     ladder.append(tile_large)
-    spill = spill0
+    spill = spill0 | spill_mid
     lower = bb < base - 1
     for t in ladder:
         cls = ok & ~lower & (bb < t - 1)
