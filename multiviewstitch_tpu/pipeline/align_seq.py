@@ -125,7 +125,7 @@ def _lift_to_3d(pts_map, valid_map, uv):
 
 def match_sequence_pair(
     seq1: Sequence, seq2: Sequence, cfg: StitchConfig, key,
-    prep1=None, prep2=None, mesh=None,
+    prep1=None, prep2=None, mesh=None, want_candidates: bool = True,
 ) -> Tuple[Similarity, PairCandidate, List[PairCandidate]]:
     """Find the best keyframe pair between two sequences and solve its SRT
     (the per-pair body of CalcSimilarityTransformationSeq,
@@ -160,7 +160,12 @@ def match_sequence_pair(
     # ~400 MB over the tunnel while eligible edges are a handful
     # (round-2 verdict weak #7)
     nm_h = np.asarray(nm)
-    elig = np.nonzero(nm_h >= 3)[0]
+    if not want_candidates:
+        # candidates feed refinement/debug only — skip their [elig, M, ·]
+        # transfer when the caller wants just the keyframe SRT
+        elig = np.asarray([best_e])
+    else:
+        elig = np.nonzero(nm_h >= 3)[0]
     sel = jnp.asarray(elig.astype(np.int32))
     # ONE host round trip for all five per-edge arrays (each np.asarray
     # blocks a full ~27 ms tunnel round trip; round-4 e2e breakdown)
@@ -311,11 +316,13 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     edges: List[Similarity] = []
     keyframes, residuals = [], []
     all_candidates = []
+    want_cands = bool(refine) or bool(debug_dir) or cfg.debug_artifacts
     for k in range(len(seqs) - 1):
         key, sub = jax.random.split(key)
         T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub,
                                              preps[k], preps[k + 1],
-                                             mesh=mesh)
+                                             mesh=mesh,
+                                             want_candidates=want_cands)
         edges.append(T)
         keyframes.append((best.frame_i, best.frame_j))
         residuals.append(best.residual)
