@@ -115,8 +115,12 @@ def main():
     from multiviewstitch_tpu.ops.rasterizer import render_sequence
     from multiviewstitch_tpu.pipeline.fixtures import ring_cameras
     n_frames = 8
+    # look at the sphere's actual center (z=2.5) — aiming at the origin
+    # put it at grazing close-up angles whose giant faces fell through to
+    # the full-frame passes and dominated the first recorded loop wall
     cams8 = ring_cameras(n_frames, radius=2.5, width=w, img_height=h,
-                         length_focal=520.0, arc_deg=90.0)
+                         length_focal=520.0, arc_deg=90.0,
+                         look_at=(0.0, 0.0, 2.5))
     measured = jnp.asarray(
         rng.uniform(0.3, 0.5, size=(n_frames, h, w)).astype(np.float32))
 
