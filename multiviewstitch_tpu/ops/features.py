@@ -164,10 +164,12 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
     pixel (replicate-edge, same semantics as the former per-sample gather
     path).
 
-    mode: "exact" f32 HIGHEST (6 MXU passes), "split2" bf16 hi/lo value
-    split with bf16 weights (value error <= 2^-17 of magnitude, weight
-    quantization <= 2^-9 px of the interpolation delta — far below sensor
-    noise; the production default), "fast" single bf16 pass.
+    mode: "exact" f32 HIGHEST everywhere (bit-exact bilinear taps; both
+    the column-window selection and the interpolation matmul run the
+    3-way-split HIGHEST path), "split2" bf16 hi/lo value split with bf16
+    weights (value error <= 2^-17 of magnitude, weight quantization
+    <= 2^-9 px of the interpolation delta — far below sensor noise; the
+    production default), "fast" single bf16 pass.
     """
     W = gx_atlas.shape[1]
     offs = jnp.asarray(meta[0], jnp.int32)[lvl]          # [K]
@@ -220,10 +222,15 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
             preferred_element_type=jnp.float32)          # [K,2WS,WS]
 
     if mode == "exact":
-        # exact f32 column window via hi/lo exact selector passes
-        hi_w = win.astype(jnp.bfloat16)
-        lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
-        winc = colwin(hi_w) + colwin(lo_w)
+        # bit-exact f32 column window: f32 HIGHEST selection. The 0/1
+        # selector is exactly representable in bf16, so the 3-way operand
+        # split of HIGHEST passes all 24 value mantissa bits through
+        # (a bf16 hi/lo value split — round 4 — lost bits beyond 2^-17).
+        winc = jax.lax.dot_general(
+            win, colsel.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # [K,2WS,WS]
         res = matmul(A, winc, jax.lax.Precision.HIGHEST)
     elif mode == "split2":
         # 0/1 bf16 selector x bf16 values in f32 accumulation is exact,

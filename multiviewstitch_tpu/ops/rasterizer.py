@@ -273,7 +273,8 @@ def _raster_tiled(uvz, faces, face_ok, h, w, zbuf_flat, *,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile", "tile_large",
-                                   "chunk", "znear", "overflow_capacity"))
+                                   "chunk", "znear", "overflow_capacity",
+                                   "mid_capacity"))
 def render_disparity(
     vertices: jnp.ndarray,     # [V,3] world-space
     faces: jnp.ndarray,        # [F,3] int32 (padding rows: any id, masked)
@@ -287,6 +288,7 @@ def render_disparity(
     chunk: int = 2048,
     znear: float = 1e-4,
     overflow_capacity: int = 256,
+    mid_capacity: int = 16384,
 ) -> RenderResult:
     pc = world_to_cam(cam, vertices)                       # [V,3]
     z = pc[:, 2]
@@ -346,7 +348,7 @@ def render_disparity(
 
     # mid class through the tiled pass too (compacted + gated); overflow
     # beyond the cap spills to the scatter ladder like any other class
-    mid_cap = min(f.shape[0], 16384)
+    mid_cap = min(f.shape[0], mid_capacity)
     zbuf, spill_mid = gated_pass(
         zbuf, ok & (bb >= 7) & (bb < base - 1), mid_cap,
         lambda zb, fs, os_: _raster_tiled(uvz, fs, os_, height, width, zb,

@@ -175,7 +175,16 @@ def build_ba_problem(seqs, pairs, transforms, *, min_obs: int = 2):
     tvec0 = np.zeros((len(cams_sorted), 3), np.float32)
     fixed = np.zeros(len(cams_sorted), bool)
     ref_seq = _reference_sequence(transforms)
+    # BA shares one K across all cameras (make_problem takes a single
+    # intrinsics matrix). Real .act calibrations can differ per frame —
+    # projecting through the wrong K would silently degrade the refit, so
+    # any participating frame whose K deviates from K0 skips BA (the
+    # caller falls back to the chain with ba_skipped=1).
     K0 = np.asarray(seqs[0].cams.K[0])
+    for (q, f) in cam_map:
+        Kqf = np.asarray(seqs[q].cams.K[f])
+        if not np.allclose(Kqf, K0, rtol=1e-4, atol=1e-3 * abs(K0[0, 0])):
+            return None
     for (q, f), cid in cam_map.items():
         s, R_T, t_T = host_T[q]
         R_f = np.asarray(seqs[q].cams.R[f], np.float64)

@@ -191,3 +191,71 @@ def test_refine_with_ba_sharded_matches_unsharded():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(out1[0].R),
                                np.asarray(out2[0].R), atol=1e-3)
+
+
+def test_refine_skips_on_mismatched_intrinsics():
+    """BA shares one K across all composite cameras; a participating frame
+    with different intrinsics must skip BA (ba_skipped=1, chain returned)
+    rather than silently projecting through the wrong K (round-5 advisor:
+    build_ba_problem used seqs[0].cams.K[0] unconditionally)."""
+    from multiviewstitch_tpu.core.transforms import inverse
+    rng = np.random.default_rng(5)
+    n = 20
+    R1 = np.stack([_rand_rot(rng) for _ in range(2)])
+    t1 = rng.normal(size=(2, 3)) * 0.1 + np.asarray([0, 0, 2.0])
+    K = np.asarray([[80.0, 0, 31.5], [0, 80.0, 23.5], [0, 0, 1]],
+                   np.float32)
+
+    class _KC:
+        def __init__(self, R, t, Ks):
+            self.R = jnp.asarray(R)
+            self.t = jnp.asarray(t)
+            self.K = jnp.asarray(Ks)
+
+    class _S:
+        def __init__(self, cams):
+            self.cams = cams
+
+    pts_w = rng.normal(size=(n, 3)) * 0.4
+    gtT = Similarity(jnp.asarray(1.1, jnp.float32),
+                     jnp.asarray(_rand_rot(rng), jnp.float32),
+                     jnp.asarray([0.1, 0.05, -0.08], jnp.float32))
+    Tinv = inverse(gtT)
+
+    def project(Rf, tf, X):
+        pc = Rf @ X + tf
+        return np.asarray([K[0, 0] * pc[0] / pc[2] + K[0, 2],
+                           K[1, 1] * pc[1] / pc[2] + K[1, 2]])
+
+    class _C:
+        pass
+
+    c = _C()
+    c.frame_i, c.frame_j = 0, 1
+    p1 = np.asarray([np.asarray(
+        jnp.einsum("ij,j->i", Tinv.R, jnp.asarray(p)) * Tinv.s +
+        np.asarray(Tinv.t)) for p in pts_w])
+    c.p1, c.p2 = p1, pts_w
+    Rp0 = R1[0] @ np.asarray(gtT.R).T
+    tp0 = -Rp0 @ np.asarray(gtT.t) + float(gtT.s) * t1[0]
+    c.uv1 = np.stack([project(Rp0, tp0, pts_w[i]) for i in range(n)])
+    c.uv2 = np.stack([project(R1[1], t1[1], pts_w[i]) for i in range(n)])
+    c.mask = np.ones(n, bool)
+    cands = [(0, 1, c)]
+    init = [gtT, Similarity.identity()]
+    Ks_same = np.tile(K, (2, 1, 1))
+    # participating camera (seq 1, frame 1 = c.frame_j) with a different fx
+    Ks_diff = Ks_same.copy()
+    Ks_diff[1, 0, 0] = 95.0
+    seqs = [_S(_KC(R1, t1, Ks_same)),
+            _S(_KC(R1.copy(), t1.copy(), Ks_diff))]
+    out, m = refine_with_ba(seqs, cands, init, iters=4)
+    assert m.get("ba_skipped") == 1.0
+    assert float(out[0].s) == float(gtT.s)
+    # non-participating frame K (seq 0, frame 1) may differ freely
+    Ks_np = Ks_same.copy()
+    Ks_np[1, 0, 0] = 95.0
+    seqs2 = [_S(_KC(R1, t1, Ks_np)),
+             _S(_KC(R1.copy(), t1.copy(), Ks_same))]
+    out2, m2 = refine_with_ba(seqs2, cands, init, iters=4)
+    assert "ba_rmse_px" in m2 and m2.get("ba_skipped", 0) == 0

@@ -193,3 +193,59 @@ def test_dog_scales_are_interpolated_off_grid():
     grid = np.concatenate([grid, 2 * grid, 4 * grid])
     off_grid = np.min(np.abs(sc[:, None] - grid[None, :]), axis=1) > 1e-4
     assert off_grid.mean() > 0.3
+
+
+def test_sample_grad_patches_exact_mode_is_f32_exact():
+    """mode='exact' must return f32-exact bilinear taps of the atlas —
+    error within a few ulps of the tap magnitudes (FMA/association order
+    differs across backends), NOT the bf16 hi/lo split's ~2^-17 relative
+    error (round-5 advisor: the round-4 column-window rework silently
+    demoted 'exact'; restored via f32 HIGHEST selection)."""
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.ops.features import (_grad_pyramid,
+                                                  _sample_grad_patches)
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((64, 96)).astype(np.float32)
+    gx_atlas, gy_atlas, meta = _grad_pyramid(jnp.asarray(img), 2)
+    K, S = 24, 16
+    lvl = jnp.asarray(rng.integers(0, 4, K), jnp.int32)
+    ds = np.asarray(meta[3], np.float32)[np.asarray(lvl)]
+    ws = np.asarray(meta[2], np.float32)[np.asarray(lvl)]
+    hs = np.asarray(meta[1], np.float32)[np.asarray(lvl)]
+    # centers well inside each level, offsets within the window bound
+    cx = rng.uniform(12, ws - 12) * ds
+    cy = rng.uniform(12, hs - 12) * ds
+    uv = jnp.asarray(np.stack([cx, cy], -1), jnp.float32)
+    dx = jnp.asarray(rng.uniform(-8, 8, (K, S)), jnp.float32)
+    dy = jnp.asarray(rng.uniform(-8, 8, (K, S)), jnp.float32)
+    gx, gy = _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv,
+                                  dx, dy, mode="exact")
+
+    # NumPy oracle: f32 bilinear taps of the same atlas rows
+    gxa = np.asarray(gx_atlas)
+    gya = np.asarray(gy_atlas)
+    offs = np.asarray(meta[0])
+    for atlas, got in ((gxa, np.asarray(gx)), (gya, np.asarray(gy))):
+        for i in range(K):
+            li = int(lvl[i])
+            o, hl, wl, d = offs[li], int(hs[i]), int(ws[i]), ds[i]
+            cxl, cyl = cx[i] / d, cy[i] / d
+            for s in range(S):
+                sx = np.float32(cxl) + np.float32(dx[i, s])
+                sy = np.float32(cyl) + np.float32(dy[i, s])
+                x0 = int(np.clip(np.int32(sx), 0, wl - 2))
+                y0 = int(np.clip(np.int32(sy), 0, hl - 2))
+                fx = np.float32(np.clip(sx - x0, 0.0, 1.0))
+                fy = np.float32(np.clip(sy - y0, 0.0, 1.0))
+                r0 = (np.float32(1) - fx) * atlas[o + y0, x0] \
+                    + fx * atlas[o + y0, x0 + 1]
+                r1 = (np.float32(1) - fx) * atlas[o + y0 + 1, x0] \
+                    + fx * atlas[o + y0 + 1, x0 + 1]
+                want = (np.float32(1) - fy) * r0 + fy * r1
+                taps = max(abs(atlas[o + y0, x0]), abs(atlas[o + y0, x0+1]),
+                           abs(atlas[o + y0+1, x0]), abs(atlas[o + y0+1,
+                                                                x0+1]))
+                # 16 f32 ulps of the tap scale; split2's bf16 split sits
+                # ~64x above this bound (2^-17 vs 2^-24)
+                assert abs(got[i, s] - want) <= 1e-6 * max(taps, 1e-6)

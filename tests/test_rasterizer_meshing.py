@@ -218,10 +218,12 @@ def test_rasterize_overflow_counts_beyond_capacity():
     assert (d == 0.5).mean() > 0.4         # the in-capacity half rendered
 
 
-def test_tiled_pass_capacity_spill_renders_exactly():
-    """>512 faces crammed into one 16x16 tile: the tiled pass's capacity
-    overflows and the excess must spill to the scatter ladder, not drop
-    (round-4 tile-binned rasterizer)."""
+def test_tiled_pass_dense_tile_renders_exactly():
+    """700 tiny faces crammed into one tile: the ts=8 tile-local pass has
+    no per-tile capacity, so silhouette-dense tiles must still z-test
+    exactly against a brute-force oracle (round-4 tile-binned rasterizer;
+    round-5 advisor: this case never reaches the mid-class spill path —
+    that is covered by test_mid_class_capacity_spill_renders_exactly)."""
     import numpy as np
     import jax.numpy as jnp
     from multiviewstitch_tpu.core.cameras import CameraBatch
@@ -286,3 +288,79 @@ def test_tiled_pass_capacity_spill_renders_exactly():
                     disp = (e1*zs[0] + e2*zs[1] + e0*zs[2]) / area
                     ref[py, px] = max(ref[py, px], disp)
     np.testing.assert_allclose(d, ref, rtol=2e-5, atol=1e-7)
+
+
+def _oracle_raster(verts, faces, h, w, fx, fy, cx0, cy0):
+    """Brute-force z-buffer oracle (frontal camera, verts already in cam
+    frame)."""
+    ua = verts[:, 0] / verts[:, 2] * fx + cx0
+    va = verts[:, 1] / verts[:, 2] * fy + cy0
+    iz = 1.0 / verts[:, 2]
+    ref = np.zeros((h, w), np.float32)
+    for t in range(faces.shape[0]):
+        i0, i1, i2 = faces[t]
+        xs = ua[[i0, i1, i2]]
+        ys = va[[i0, i1, i2]]
+        zs = iz[[i0, i1, i2]]
+        x0, x1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
+        y0, y1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
+        for py in range(max(y0, 0), min(y1 + 1, h)):
+            for px in range(max(x0, 0), min(x1 + 1, w)):
+                e0 = (xs[1]-xs[0])*(py-ys[0]) - (ys[1]-ys[0])*(px-xs[0])
+                e1 = (xs[2]-xs[1])*(py-ys[1]) - (ys[2]-ys[1])*(px-xs[1])
+                e2 = (xs[0]-xs[2])*(py-ys[2]) - (ys[0]-ys[2])*(px-xs[2])
+                area = (xs[1]-xs[0])*(ys[2]-ys[0]) - \
+                    (ys[1]-ys[0])*(xs[2]-xs[0])
+                if area >= 0:
+                    ins = e0 >= 0 and e1 >= 0 and e2 >= 0
+                else:
+                    ins = e0 <= 0 and e1 <= 0 and e2 <= 0
+                if ins and abs(area) > 1e-12:
+                    disp = (e1*zs[0] + e2*zs[1] + e0*zs[2]) / area
+                    ref[py, px] = max(ref[py, px], disp)
+    return ref
+
+
+def test_mid_class_capacity_spill_renders_exactly():
+    """Mid-class faces (7 <= bbox < 15) beyond the compacted pass's
+    capacity must spill into the scatter ladder's first rung and still
+    render exactly (round-5 advisor: the spill path for the tiled mid
+    class had no coverage — mid_capacity, render_disparity)."""
+    import jax.numpy as jnp
+    from multiviewstitch_tpu.core.cameras import CameraBatch
+    from multiviewstitch_tpu.ops.rasterizer import render_disparity
+
+    rng = np.random.default_rng(7)
+    n = 96
+    w, h = 320, 240
+    fx = fy = 300.0
+    cx0, cy0 = (w - 1) / 2, (h - 1) / 2
+    verts = []
+    faces = []
+    for i in range(n):
+        # 10-px bboxes scattered over the frame, staggered depths so the
+        # z-test matters where they overlap
+        ox = rng.uniform(20, w - 32)
+        oy = rng.uniform(20, h - 32)
+        z = 2.0 + i * 1e-3
+        for (du, dv) in ((0, 0), (10.0, 1.0), (1.0, 10.0)):
+            verts.append([(ox + du - cx0) / fx * z,
+                          (oy + dv - cy0) / fy * z, z])
+        faces.append([3 * i, 3 * i + 1, 3 * i + 2])
+    verts_np = np.asarray(verts, np.float32)
+    faces_np = np.asarray(faces, np.int32)
+    K = jnp.asarray([[fx, 0, cx0], [0, fy, cy0], [0, 0, 1]], jnp.float32)
+    cam = CameraBatch(K, jnp.eye(3), jnp.zeros(3), w, h)
+    # capacity 32 << 96 mid-class faces: two thirds must spill
+    out = render_disparity(jnp.asarray(verts_np), jnp.asarray(faces_np),
+                           jnp.ones(n, bool), cam, height=h, width=w,
+                           mid_capacity=32)
+    assert int(out.overflow) == 0
+    ref = _oracle_raster(verts_np, faces_np, h, w, fx, fy, cx0, cy0)
+    np.testing.assert_allclose(np.asarray(out.disparity), ref,
+                               rtol=2e-5, atol=1e-7)
+    # control: the uncapped pass agrees
+    out2 = render_disparity(jnp.asarray(verts_np), jnp.asarray(faces_np),
+                            jnp.ones(n, bool), cam, height=h, width=w)
+    np.testing.assert_allclose(np.asarray(out2.disparity), ref,
+                               rtol=2e-5, atol=1e-7)
