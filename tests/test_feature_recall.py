@@ -89,14 +89,33 @@ def test_recall_identity():
 
 
 def test_recall_rot30():
-    # measured 0.839 / 0.975 with scale-matched gradient stacks + 4x
-    # histogram smoothing + SiftMatchGPU-parity matching (round 1 was
-    # 0.636 sampling the raw image); VERDICT r1 item 7 target >= 0.8
+    # round-5 measurement: 0.847 / 0.967 (round 1: 0.636 sampling the raw
+    # image). Gate = measured minus noise (VERDICT r4 item 8 ratchet; the
+    # old 0.80 floor would have passed a 4-point regression silently).
+    # Aspirational target >= 0.85 at 30 deg: the remaining misses are
+    # dual-orientation flips near the 36-bin histogram's 0.8-peak
+    # threshold, not description errors.
     r, p = _recall(30, 1.0)
-    assert r >= 0.8 and p >= 0.9, (r, p)
+    assert r >= 0.82 and p >= 0.96, (r, p)
 
 
 def test_recall_rot_and_scale():
-    # measured 0.765 / 0.989 (round 1: 0.62); target >= 0.75
+    # round-5 measurement: 0.776 / 0.968 (round 1: 0.62)
     r, p = _recall(30, 1.25)
-    assert r >= 0.75 and p >= 0.9, (r, p)
+    assert r >= 0.75 and p >= 0.96, (r, p)
+
+
+def test_recall_wide_baseline_rot45():
+    # VERDICT r4 item 8: a wide-baseline case with a recorded number.
+    # round-5 measurement: 0.895 / 0.967 — 45 deg is STRONGER than 30 on
+    # this fixture (45 sits exactly between two 10-deg histogram bin
+    # centers, so the dominant-orientation vote splits less often than at
+    # 30's bin-edge alignment).
+    r, p = _recall(45, 1.0)
+    assert r >= 0.85 and p >= 0.96, (r, p)
+
+
+def test_recall_wide_baseline_rot45_scale():
+    # round-5 measurement: 0.813 / 0.967
+    r, p = _recall(45, 1.25)
+    assert r >= 0.78 and p >= 0.96, (r, p)
