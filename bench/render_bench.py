@@ -75,17 +75,29 @@ def main():
             ts.append(time.perf_counter() - s)
         return min(ts)
 
-    @jax.jit
-    def render_chain(vv):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("impl",))
+    def render_chain(vv, impl=None):
         def body(carry, _):
             out = render_disparity(carry, faces, fmask, cam,
-                                   height=h, width=w)
+                                   height=h, width=w, impl=impl)
             s = out.disparity.sum()
             return carry + s * 1e-20, s
         out, _ = jax.lax.scan(body, vv, None, length=REPS)
         return jnp.sum(out) * 1e-20
 
     t_render = (timeit(render_chain, verts) - rt) / REPS
+    # A/B the Pallas strip kernel against the XLA tile passes in the SAME
+    # process (tunnel load inflates runs uniformly — only within-run
+    # comparisons are fair, CLAUDE.md)
+    t_render_faces = t_render_strips = None
+    if not args.cpu:
+        t_render_faces = (timeit(
+            lambda v: render_chain(v, impl="pallas"), verts) - rt) / REPS
+        t_render_strips = (timeit(
+            lambda v: render_chain(v, impl="pallas_strips"),
+            verts) - rt) / REPS
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32))
@@ -140,6 +152,12 @@ def main():
     out = {"metric": "render_and_viewsynth_ms",
            "backend": "cpu" if args.cpu else "tpu",
            "render_ms_per_frame_100k_faces": round(t_render * 1e3, 2),
+           "render_pallas_faces_ms_per_frame": (
+               round(t_render_faces * 1e3, 2) if t_render_faces
+               else None),
+           "render_pallas_strips_ms_per_frame": (
+               round(t_render_strips * 1e3, 2) if t_render_strips
+               else None),
            "viewsynth_ms_per_3view_vga": round(t_synth * 1e3, 2),
            "viewsynth_gray_ms_per_3view_vga": round(t_synth_gray * 1e3, 2),
            "config3_loop_ms_per_outer_iter_8f": round(t_loop * 1e3, 2)}

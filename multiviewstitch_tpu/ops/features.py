@@ -144,32 +144,19 @@ def _grad_pyramid(img: jnp.ndarray, num_octaves: int):
     return gx_atlas, gy_atlas, meta
 
 
-def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
-                         mode: str = "split2"):
-    """Batched bilinear gradient sampling, MXU formulation.
+def _build_window_cache(gx_atlas, gy_atlas, meta, lvl, uv,
+                        mode: str = "split2"):
+    """Pull + column-window the per-keypoint gradient windows ONCE.
 
-    lvl [K] int32 pyramid level per keypoint; uv [K,2] full-res center;
-    dx/dy [K,S] sample offsets in LEVEL pixels. Returns (gx, gy) [K,S].
-
-    Formulation (measured on v5e, /tmp micro-bench recorded in
-    bench/sift_profile.py history): per keypoint a 64-ROW window is pulled
-    from each atlas with a full-row gather (rows move as whole DMA lines —
-    4 ms per 8xVGA frames incl. the matmul, vs 14 ms for vmapped 2D
-    dynamic_slice windows and 106 ms for 8-row block gathers). The
-    bilinear x-interpolation is ONE batched matmul whose sparse rows carry
-    the two interpolation weights (1-fx at x0, fx at x0+1) — the gather IS
-    the matmul — and the y-interpolation is a weighted row reduction on
-    the VPU. gx/gy windows are concatenated along rows so both ride the
-    same pass(es). Samples beyond the level image edge clamp to the edge
-    pixel (replicate-edge, same semantics as the former per-sample gather
-    path).
-
-    mode: "exact" f32 HIGHEST everywhere (bit-exact bilinear taps; both
-    the column-window selection and the interpolation matmul run the
-    3-way-split HIGHEST path), "split2" bf16 hi/lo value split with bf16
-    weights (value error <= 2^-17 of magnitude, weight quantization
-    <= 2^-9 px of the interpolation delta — far below sensor noise; the
-    production default), "fast" single bf16 pass.
+    Returns (parts, row0, xbase): `parts` holds the column-windowed
+    [K,2WS,WS] window tensor(s) for `mode` (one f32 for "exact", bf16
+    hi/lo pair for "split2", one bf16 for "fast"), `row0`/`xbase` the
+    level-local window anchors. Round 5 (VERDICT r4 item 4): orientation
+    and descriptor both sample the SAME windows per keypoint — the
+    window build (atlas row gather + column-selection matmuls, the
+    HBM-heavy half of each stage) is shared across the two passes, and
+    the dual-orientation duplicates reuse their primaries' windows via
+    a [K]-row cache gather instead of rebuilding.
     """
     W = gx_atlas.shape[1]
     offs = jnp.asarray(meta[0], jnp.int32)[lvl]          # [K]
@@ -185,21 +172,51 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
     rows = (offs + row0)[:, None] + jnp.arange(_WS)[None]  # [K,WS]
     win = jnp.concatenate([gx_atlas[rows], gy_atlas[rows]], 1)  # [K,2WS,W]
 
-    # column window [xbase, xbase + _WS): every sample offset is bounded
-    # by ~23 level px (orientation: 7.5 * 2.83-max spacing; descriptor:
-    # 7.5 * sqrt(2) * 0.75 * 2.83), so a _WS-wide window centered on the
-    # keypoint always contains both bilinear taps. Round 4: the full-W
-    # interpolation operand was [K,S,W] f32 (~380 MB per 8xVGA call) and
-    # dominated the orientation/descriptor stages; the window build is
-    # one exact 0/1 selector matmul and shrinks it 10x.
     xbase = jnp.clip(cx.astype(jnp.int32) - _WS // 2, 0,
                      jnp.maximum(Wl - _WS, 0))           # [K]
     wcols = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
     ccols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _WS), 2)
     colsel = (wcols == xbase[:, None, None] + ccols).astype(jnp.bfloat16)
 
-    # absolute x bilinear taps (edge-clamped exactly like the old path),
-    # window-relative
+    def colwin(w_part):              # [K,2WS,W] bf16 @ [K,W,WS] -> f32
+        return jax.lax.dot_general(
+            w_part, colsel,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [K,2WS,WS]
+
+    if mode == "exact":
+        # bit-exact f32 column window: f32 HIGHEST selection (the 0/1
+        # selector passes all 24 value mantissa bits through)
+        winc = jax.lax.dot_general(
+            win, colsel.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        parts = (winc,)
+    elif mode == "split2":
+        # 0/1 bf16 selector x bf16 values in f32 accumulation is exact,
+        # so the windowed hi/lo parts recast to bf16 losslessly
+        hi_w = win.astype(jnp.bfloat16)
+        lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = (colwin(hi_w).astype(jnp.bfloat16),
+                 colwin(lo_w).astype(jnp.bfloat16))
+    else:
+        parts = (colwin(win.astype(jnp.bfloat16)),)
+    return parts, row0, xbase
+
+
+def _sample_from_cache(parts, row0, xbase, meta, lvl, uv, dx, dy,
+                       mode: str = "split2"):
+    """Bilinear taps from a prebuilt window cache (see
+    _build_window_cache). dx/dy [K,S] in LEVEL pixels; returns (gx, gy)
+    [K,S]."""
+    Hl = jnp.asarray(meta[1], jnp.int32)[lvl]
+    Wl = jnp.asarray(meta[2], jnp.int32)[lvl]
+    ds = jnp.asarray(meta[3], jnp.float32)[lvl]
+    cx = uv[:, 0] / ds
+    cy = uv[:, 1] / ds
+
+    # absolute x bilinear taps (edge-clamped), window-relative
     sx = cx[:, None] + dx
     x0 = jnp.clip(sx.astype(jnp.int32), 0,
                   jnp.maximum(Wl - 2, 0)[:, None])
@@ -215,37 +232,15 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
             a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
-    def colwin(w_part):              # [K,2WS,W] bf16 @ [K,W,WS] -> f32
-        return jax.lax.dot_general(
-            w_part, colsel,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [K,2WS,WS]
-
     if mode == "exact":
-        # bit-exact f32 column window: f32 HIGHEST selection. The 0/1
-        # selector is exactly representable in bf16, so the 3-way operand
-        # split of HIGHEST passes all 24 value mantissa bits through
-        # (a bf16 hi/lo value split — round 4 — lost bits beyond 2^-17).
-        winc = jax.lax.dot_general(
-            win, colsel.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # [K,2WS,WS]
-        res = matmul(A, winc, jax.lax.Precision.HIGHEST)
+        res = matmul(A, parts[0], jax.lax.Precision.HIGHEST)
     elif mode == "split2":
-        # 0/1 bf16 selector x bf16 values in f32 accumulation is exact,
-        # so the windowed hi/lo parts recast to bf16 losslessly
-        hi_w = win.astype(jnp.bfloat16)
-        lo_w = (win - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
-        winc_hi = colwin(hi_w).astype(jnp.bfloat16)
-        winc_lo = colwin(lo_w).astype(jnp.bfloat16)
         both = matmul(A.astype(jnp.bfloat16),
-                      jnp.concatenate([winc_hi, winc_lo], 1),
+                      jnp.concatenate(parts, 1),
                       jax.lax.Precision.DEFAULT)         # [K,S,4WS]
         res = both[..., :2 * _WS] + both[..., 2 * _WS:]
     else:
-        res = matmul(A, colwin(win.astype(jnp.bfloat16)),
-                     jax.lax.Precision.DEFAULT)
+        res = matmul(A, parts[0], jax.lax.Precision.DEFAULT)
 
     # y-interp: weighted row reduction over the window rows
     ry = jnp.clip(cy[:, None] + dy - row0[:, None].astype(jnp.float32),
@@ -261,8 +256,47 @@ def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
     return gx, gy
 
 
-def _orientation_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale,
-                       radius: int = 8):
+def _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv, dx, dy,
+                         mode: str = "split2"):
+    """Batched bilinear gradient sampling, MXU formulation.
+
+    lvl [K] int32 pyramid level per keypoint; uv [K,2] full-res center;
+    dx/dy [K,S] sample offsets in LEVEL pixels. Returns (gx, gy) [K,S].
+
+    Formulation (measured on v5e, /tmp micro-bench recorded in
+    bench/sift_profile.py history): per keypoint a 64-ROW window is pulled
+    from each atlas with a full-row gather (rows move as whole DMA lines —
+    4 ms per 8xVGA frames incl. the matmul, vs 14 ms for vmapped 2D
+    dynamic_slice windows and 106 ms for 8-row block gathers), then
+    column-windowed to [K,2WS,WS] with an exact 0/1 selector matmul
+    (round 4: the full-W interpolation operand was [K,S,W] f32, ~380 MB
+    per 8xVGA call). The bilinear x-interpolation is ONE batched matmul
+    whose sparse rows carry the two interpolation weights (1-fx at x0,
+    fx at x0+1) — the gather IS the matmul — and the y-interpolation is
+    a weighted row reduction on the VPU. gx/gy windows are concatenated
+    along rows so both ride the same pass(es). Samples beyond the level
+    image edge clamp to the edge pixel (replicate-edge). Every sample
+    offset is bounded by ~23 level px (orientation: 7.5 * 2.83-max
+    spacing; descriptor: 7.5 * sqrt(2) * 0.75 * 2.83), so the _WS-wide
+    window always contains both bilinear taps.
+
+    mode: "exact" f32 HIGHEST everywhere (bit-exact bilinear taps; both
+    the column-window selection and the interpolation matmul run the
+    3-way-split HIGHEST path), "split2" bf16 hi/lo value split with bf16
+    weights (value error <= 2^-17 of magnitude, weight quantization
+    <= 2^-9 px of the interpolation delta — far below sensor noise; the
+    production default), "fast" single bf16 pass.
+
+    Round 5: split into _build_window_cache + _sample_from_cache so the
+    orientation and descriptor passes share one window build.
+    """
+    parts, row0, xbase = _build_window_cache(gx_atlas, gy_atlas, meta,
+                                             lvl, uv, mode)
+    return _sample_from_cache(parts, row0, xbase, meta, lvl, uv, dx, dy,
+                              mode)
+
+
+def _orientation_batch(cache, meta, lvl, uv, scale, radius: int = 8):
     """Dominant gradient orientations for ALL keypoints at once (36-bin
     Gaussian-weighted histograms, like SIFT). The window is SCALE-ADAPTIVE:
     gradients are sampled on a grid spaced by the keypoint's scale, from
@@ -278,8 +312,8 @@ def _orientation_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale,
     dyg = dyg.ravel()[None]
     ds = jnp.asarray(meta[3], jnp.float32)[lvl]
     spacing = (scale / ds)[:, None]                         # [K,1] level px
-    gx, gy = _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv,
-                                  spacing * dxg, spacing * dyg)
+    gx, gy = _sample_from_cache(*cache, meta, lvl, uv,
+                                spacing * dxg, spacing * dyg)
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)
     wgt = jnp.exp(-0.5 * ((dxg ** 2 + dyg ** 2) / (radius * radius / 2.25)))
@@ -331,7 +365,7 @@ def _orientation_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale,
     return refine(peak), refine(peak2), ratio2
 
 
-def _descriptor_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale, angle):
+def _descriptor_batch(cache, meta, lvl, uv, scale, angle):
     """128-d SIFT-layout descriptors for ALL keypoints at once.
 
     Same math as the former per-keypoint _descriptor (trilinear soft
@@ -352,8 +386,7 @@ def _descriptor_batch(gx_atlas, gy_atlas, meta, lvl, uv, scale, angle):
     spac = (MAGNIF * scale / ds)[:, None]
     dx = spac * (ca * gxg - sa * gyg)
     dy = spac * (sa * gxg + ca * gyg)
-    gxi, gyi = _sample_grad_patches(gx_atlas, gy_atlas, meta, lvl, uv,
-                                    dx, dy)
+    gxi, gyi = _sample_from_cache(*cache, meta, lvl, uv, dx, dy)
     # rotate gradients into the keypoint frame
     gxv = ca * gxi + sa * gyi
     gyv = -sa * gxi + ca * gyi
@@ -586,7 +619,10 @@ def detect_and_describe(
     gx_atlas, gy_atlas, gmeta = _grad_pyramid(img, n_oct)
     glvl = _grad_level(scale, n_glv)
 
-    ang1, ang2, ratio2 = _orientation_batch(gx_atlas, gy_atlas, gmeta,
+    # one shared window build for orientation AND descriptor (round 5)
+    parts, row0, xbase = _build_window_cache(gx_atlas, gy_atlas, gmeta,
+                                             glvl, uv)
+    ang1, ang2, ratio2 = _orientation_batch((parts, row0, xbase), gmeta,
                                             glvl, uv, scale)
     # dual orientation (SIFT): keypoints with a rival histogram peak
     # >= 0.8*max also enter at the second angle; the final top-K keeps
@@ -604,8 +640,12 @@ def detect_and_describe(
     valid = jnp.isfinite(score_top) & (score_top > min_score)
 
     glvl = _grad_level(scale, n_glv)
-    desc = _descriptor_batch(gx_atlas, gy_atlas, gmeta, glvl, uv, scale,
-                             ang)
+    # the descriptor reuses the cached windows: selected keypoints map
+    # back to their original index (dual-orientation copies share uv/lvl
+    # with their primaries, so sel % K addresses the right window)
+    sel0 = sel % max_keypoints
+    cache_sel = (tuple(p[sel0] for p in parts), row0[sel0], xbase[sel0])
+    desc = _descriptor_batch(cache_sel, gmeta, glvl, uv, scale, ang)
     desc = jnp.where(valid[:, None], desc, 0.0)
     return Keypoints(uv, scale, ang, score_top, valid, desc)
 

@@ -169,15 +169,24 @@ def poisson_field(points: jnp.ndarray, normals: jnp.ndarray,
     CG's iteration count grows with resolution; V-cycles don't)."""
     gidx = (points - origin) / spacing                    # (x,y,z) coords
     w = valid.astype(points.dtype)
-    V = _trilinear_scatter((grid, grid, grid), gidx, normals * w[:, None])
-    wgt = _trilinear_scatter((grid, grid, grid), gidx, w[:, None])[..., 0]
-    # mild smoothing of the splatted field (box blur x2 ~ B-spline-ish)
-    for _ in range(2):
-        for ax in range(3):
-            V = (V + jnp.roll(V, 1, ax) + jnp.roll(V, -1, ax)) / 3.0
-            wgt = (wgt + jnp.roll(wgt, 1, ax) + jnp.roll(wgt, -1, ax)) / 3.0
-
-    b = _divergence(V)
+    # Round 5 (depth-10 HBM budget): build the divergence rhs one normal
+    # COMPONENT at a time instead of materializing V [G^3,3] — at G=1024
+    # that single buffer is 12.9 GB of the 15.75 GB HBM. Smoothing and
+    # central differences are linear and componentwise, so
+    # div(smooth(splat(n))) == sum_ax d_ax(smooth(splat(n_ax))) exactly
+    # (same op order per component as the former fused form).
+    b = jnp.zeros((grid, grid, grid), points.dtype)
+    for comp_ax, grid_ax in ((0, 2), (1, 1), (2, 0)):   # (x,y,z) storage
+        comp = _trilinear_scatter(
+            (grid, grid, grid),
+            gidx, (normals[:, comp_ax] * w)[:, None])[..., 0]
+        # mild smoothing of the splat (box blur x2 ~ B-spline-ish)
+        for _ in range(2):
+            for ax in range(3):
+                comp = (comp + jnp.roll(comp, 1, ax) +
+                        jnp.roll(comp, -1, ax)) / 3.0
+        b = b + (jnp.roll(comp, -1, grid_ax) -
+                 jnp.roll(comp, 1, grid_ax)) * 0.5
     if solver == "auto":
         solver = "multigrid" if grid >= 256 else "cg"
 
@@ -212,7 +221,25 @@ def poisson_field(points: jnp.ndarray, normals: jnp.ndarray,
     # iso level: mean field value at the input samples
     at_pts = _trilinear_gather(x, gidx)
     iso = (at_pts * w).sum() / jnp.maximum(w.sum(), 1.0)
+    # sample-weight grid scattered AFTER the solve: holding it across the
+    # V-cycles would add a fine-level buffer to the peak (depth-10 budget)
+    wgt = _trilinear_scatter((grid, grid, grid), gidx, w[:, None])[..., 0]
+    for _ in range(2):
+        for ax in range(3):
+            wgt = (wgt + jnp.roll(wgt, 1, ax) + jnp.roll(wgt, -1, ax)) / 3.0
     return x - iso, wgt
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _dilate_occupancy(wgt, radius: int):
+    """Bool occupancy (wgt > eps) dilated by ``radius`` voxels, one jitted
+    program (18 eager roll dispatches at depth 10 were ~5 s of tunnel
+    chatter, and bool keeps the buffer at 1/4 the f32 size)."""
+    occ = wgt > 1e-6
+    for _ in range(radius):
+        for ax in range(3):
+            occ = occ | jnp.roll(occ, 1, ax) | jnp.roll(occ, -1, ax)
+    return occ
 
 
 def _extract_mesh(field, occ, origin, spacing, max_vertices=65536,
@@ -221,7 +248,8 @@ def _extract_mesh(field, occ, origin, spacing, max_vertices=65536,
     (normals outward); surface nets expects negative inside like a TSDF.
     Returns (verts, faces, cells) — cells are the per-vertex integer
     (z,y,x) owning grid cells (exact identity for cross-slab welds)."""
-    tsdf_like = TSDF(-field, occ, origin, jnp.asarray(spacing, jnp.float32))
+    tsdf_like = TSDF(-field, occ.astype(field.dtype), origin,
+                     jnp.asarray(spacing, jnp.float32))
     mesh = surface_nets(tsdf_like, min_weight=0.5,
                         max_vertices=max_vertices, max_faces=max_faces)
     nv = int(mesh.num_vertices)
@@ -314,12 +342,9 @@ def reconstruct_poisson(points: np.ndarray, normals: np.ndarray,
         jnp.asarray(spacing, jnp.float32), grid=grid, cg_iters=cg_iters,
         solver=solver, vcycles=vcycles)
 
-    # support mask: dilate the sample-occupancy grid
-    occ = (wgt > 1e-6).astype(jnp.float32)
-    for _ in range(support_radius):
-        for ax in range(3):
-            occ = jnp.maximum(occ, jnp.maximum(
-                jnp.roll(occ, 1, ax), jnp.roll(occ, -1, ax)))
+    # support mask: dilate the sample-occupancy grid (bool — a f32 grid
+    # would cost 4.3 GB at depth 10; the extractor casts per slab)
+    occ = _dilate_occupancy(wgt, support_radius)
 
     if grid <= 256:
         # caps sized for a fully-occupied 256^3 surface (round 4: the

@@ -272,9 +272,20 @@ def _raster_tiled(uvz, faces, face_ok, h, w, zbuf_flat, *,
     return zbuf_flat, jnp.zeros((nf,), bool)
 
 
+def _auto_impl() -> str:
+    """The XLA tile passes stay production on every backend (round-5
+    v5e A/B at VGA@100k faces, quiet host, one process: xla 12.6 ms vs
+    pallas face-order 15.7 vs pallas sorted-strips 18.8 — after gating
+    the ladder compactions the XLA path's scatter cost is no longer the
+    bottleneck, while the Pallas kernels pay either ~120 cycles/face of
+    sequential loop+RMW overhead or 12 ms of XLA-side sort+gather prep;
+    see ops/pallas_raster.py for the measured design space)."""
+    return "xla"
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile", "tile_large",
                                    "chunk", "znear", "overflow_capacity",
-                                   "mid_capacity"))
+                                   "mid_capacity", "impl"))
 def render_disparity(
     vertices: jnp.ndarray,     # [V,3] world-space
     faces: jnp.ndarray,        # [F,3] int32 (padding rows: any id, masked)
@@ -289,6 +300,7 @@ def render_disparity(
     znear: float = 1e-4,
     overflow_capacity: int = 256,
     mid_capacity: int = 16384,
+    impl: str | None = None,   # None=auto, "pallas", "xla"
 ) -> RenderResult:
     pc = world_to_cam(cam, vertices)                       # [V,3]
     z = pc[:, 2]
@@ -323,13 +335,31 @@ def render_disparity(
     # spill into the first ladder rung the same way.
     zbuf = jnp.zeros((height * width + 1,), jnp.float32)
     base = max(tile, 8)
-    # ts=8 tiles for the finest class (bbox < 7): 64-pixel blocks per
-    # candidate, 4x less dense-eval work than ts=16 (A/B on the 100k
-    # 3-px-face sphere: 10.3 vs 14.5 ms). The mid class (7 <= bbox <
-    # base-1) runs a COMPACTED, cond-gated ts=base tiled pass below, so
-    # an all-small mesh pays nothing for it.
-    zbuf, spill0 = _raster_tiled(uvz, f, ok & (bb < 7), height,
-                                 width, zbuf, ts=8, chunk=16384)
+    if impl is None:
+        impl = _auto_impl()
+    if impl in ("pallas", "pallas_strips"):
+        # round 5: the whole bbox < base-1 bulk renders through a Pallas
+        # kernel; the scatter ladder below keeps the >= base-1 tail.
+        # "pallas" = face-order kernel with the whole image resident in
+        # VMEM (no sort, no gather); "pallas_strips" = the sorted-
+        # candidate per-strip variant kept for A/B (its XLA-side sort +
+        # record gather measured 12.5 of its 16.5 ms/frame).
+        from .pallas_raster import raster_faces, raster_strips
+        kern = raster_faces if impl == "pallas" else raster_strips
+        img, _ = kern(
+            uvz, f, ok, h=height, w=width, cls=base - 1,
+            interpret=jax.default_backend() != "tpu")
+        zbuf = zbuf.at[:height * width].max(img.ravel())
+        spill0 = jnp.zeros((f.shape[0],), bool)
+        spill_mid = spill0
+    else:
+        # ts=8 tiles for the finest class (bbox < 7): 64-pixel blocks per
+        # candidate, 4x less dense-eval work than ts=16 (A/B on the 100k
+        # 3-px-face sphere: 10.3 vs 14.5 ms). The mid class (7 <= bbox <
+        # base-1) runs a COMPACTED, cond-gated ts=base tiled pass below,
+        # so an all-small mesh pays nothing for it.
+        zbuf, spill0 = _raster_tiled(uvz, f, ok & (bb < 7), height,
+                                     width, zbuf, ts=8, chunk=16384)
 
     def compact(sel, cap):
         pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
@@ -341,18 +371,29 @@ def render_disparity(
         return f[buf[:cap]], filled[:cap], spilled
 
     def gated_pass(zbuf, sel, cap, run):
-        fsel, oksel, spilled = compact(sel, cap)
-        return jax.lax.cond(oksel.any(),
-                            lambda zb: run(zb, fsel, oksel),
-                            lambda zb: zb, zbuf), spilled
+        # the COMPACTION lives inside the cond too (round 5): its cumsum
+        # + two element scatters over [F] run on the scalar path and cost
+        # ~1.5 ms/rung at 100k faces — an empty class must cost one
+        # reduction, not a compaction (the ladder scaffolding was ~6 of
+        # the 22.6 ms in the first Pallas A/B)
+        def go(zb):
+            fsel, oksel, spilled = compact(sel, cap)
+            return run(zb, fsel, oksel), spilled
 
-    # mid class through the tiled pass too (compacted + gated); overflow
-    # beyond the cap spills to the scatter ladder like any other class
-    mid_cap = min(f.shape[0], mid_capacity)
-    zbuf, spill_mid = gated_pass(
-        zbuf, ok & (bb >= 7) & (bb < base - 1), mid_cap,
-        lambda zb, fs, os_: _raster_tiled(uvz, fs, os_, height, width, zb,
-                                          ts=base, chunk=8192)[0])
+        def skip(zb):
+            return zb, jnp.zeros_like(sel)
+
+        return jax.lax.cond(sel.any(), go, skip, zbuf)
+
+    if impl not in ("pallas", "pallas_strips"):
+        # mid class through the tiled pass too (compacted + gated);
+        # overflow beyond the cap spills to the scatter ladder like any
+        # other class
+        mid_cap = min(f.shape[0], mid_capacity)
+        zbuf, spill_mid = gated_pass(
+            zbuf, ok & (bb >= 7) & (bb < base - 1), mid_cap,
+            lambda zb, fs, os_: _raster_tiled(uvz, fs, os_, height, width,
+                                              zb, ts=base, chunk=8192)[0])
 
     ladder = []
     t = 2 * base

@@ -139,7 +139,7 @@ def match_sequence_pair(
     sharded over the mesh's 'views' axis (parallel/match_dist.py).
     """
     from .match_edges import (prep_sequence, match_edges, edge_knobs,
-                              select_keyframe)
+                              select_and_solve)
     n2 = seq2.gray.shape[0]
     if prep1 is None:
         prep1 = prep_sequence(seq1, cfg)
@@ -152,42 +152,49 @@ def match_sequence_pair(
                                  **edge_knobs(cfg))
     else:
         eb = match_edges(prep1, prep2, key, **edge_knobs(cfg))
-    best_e, nm, res = select_keyframe(eb, cfg.min_match_count)
 
-    # host-side candidate list (for the pose graph + debug artifacts):
-    # pull ONLY the eligible edges (nm >= 3) — the [E] reduction is tiny,
-    # and at config-5 shape the full [E, max_matches, ...] arrays are
-    # ~400 MB over the tunnel while eligible edges are a handful
-    # (round-2 verdict weak #7)
-    nm_h = np.asarray(nm)
-    if not want_candidates:
-        # candidates feed refinement/debug only — skip their [elig, M, ·]
-        # transfer when the caller wants just the keyframe SRT
-        elig = np.asarray([best_e])
-    else:
-        elig = np.nonzero(nm_h >= 3)[0]
-    sel = jnp.asarray(elig.astype(np.int32))
-    # ONE host round trip for all five per-edge arrays (each np.asarray
-    # blocks a full ~27 ms tunnel round trip; round-4 e2e breakdown)
-    uv1_h, uv2_h, p1_h, p2_h, mask_h = jax.device_get(
-        (eb.uv1[sel], eb.uv2[sel], eb.p1[sel], eb.p2[sel], eb.mask[sel]))
+    # keyframe argmin + final SRT solve fused on device: the plain align
+    # path costs ONE host round trip per sequence pair (round 5 — was
+    # two at ~27 ms each through the tunnel; VERDICT r4 item 2), and T
+    # arrives as numpy so chain composition needs no device ops at all.
+    ok_any, best_e, nm_h, res_h, T = jax.device_get(
+        select_and_solve(eb, seq1.cams, seq2.cams, key,
+                         min_match_count=cfg.min_match_count,
+                         iter_num=cfg.iter_num))
+    if not ok_any:
+        raise RuntimeError(
+            f"no frame pair with >= {cfg.min_match_count} matches "
+            f"(best had {int(nm_h.max(initial=0))}) — cannot align "
+            "sequences (Processor.cpp:794-800 analogue)")
+    best_e = int(best_e)
+
     candidates: List[PairCandidate] = []
     best: Optional[PairCandidate] = None
-    for k, e in enumerate(elig):
-        c = PairCandidate(int(e) // n2, int(e) % n2, uv1_h[k], uv2_h[k],
-                          p1_h[k], p2_h[k], mask_h[k],
-                          float(res[e]), int(nm_h[e]))
-        candidates.append(c)
-        if e == best_e:
-            best = c
-    assert best is not None  # select_keyframe guarantees nm[best_e] >= 3
-
-    # final solve on the winning edge's surviving matches
-    n_edges = nm.shape[0]
-    T, _ = estimate_srt_ransac(
-        eb.p1[best_e], eb.p2[best_e], eb.mask[best_e],
-        seq1.cams[best.frame_i], seq2.cams[best.frame_j],
-        jax.random.fold_in(key, n_edges), iter_num=cfg.iter_num)
+    if want_candidates:
+        # host-side candidate list (for the pose graph + debug artifacts):
+        # pull ONLY the eligible edges (nm >= 3) — at config-5 shape the
+        # full [E, max_matches, ...] arrays are ~400 MB over the tunnel
+        # while eligible edges are a handful (round-2 verdict weak #7)
+        elig = np.nonzero(nm_h >= 3)[0]
+        sel = jnp.asarray(elig.astype(np.int32))
+        # ONE host round trip for all five per-edge arrays
+        uv1_h, uv2_h, p1_h, p2_h, mask_h = jax.device_get(
+            (eb.uv1[sel], eb.uv2[sel], eb.p1[sel], eb.p2[sel],
+             eb.mask[sel]))
+        for k, e in enumerate(elig):
+            c = PairCandidate(int(e) // n2, int(e) % n2, uv1_h[k],
+                              uv2_h[k], p1_h[k], p2_h[k], mask_h[k],
+                              float(res_h[e]), int(nm_h[e]))
+            candidates.append(c)
+            if e == best_e:
+                best = c
+    if best is None:
+        # candidates skipped (or best below the nm>=3 pull floor): the
+        # caller only needs the keyframe ids + stats on this path
+        empty = np.zeros((0,), np.float32)
+        best = PairCandidate(best_e // n2, best_e % n2, empty, empty,
+                             empty, empty, empty.astype(bool),
+                             float(res_h[best_e]), int(nm_h[best_e]))
     return T, best, candidates
 
 
@@ -291,6 +298,23 @@ def match_sequence_pair_loop(
     return T, best, candidates
 
 
+def _identity_host() -> Similarity:
+    """Host-side (numpy-leaved) identity similarity — no device ops."""
+    return Similarity(np.float32(1.0), np.eye(3, dtype=np.float32),
+                      np.zeros(3, np.float32))
+
+
+def _compose_host(A: Similarity, B: Similarity) -> Similarity:
+    """compose() in numpy for host-resident transforms (the chain loop):
+    s = sA*sB, R = RA@RB, t = sA*RA@tB + tA (Processor.cpp:819-823)."""
+    sA = np.float32(np.asarray(A.s))
+    RA = np.asarray(A.R, np.float32)
+    return Similarity(sA * np.float32(np.asarray(B.s)),
+                      (RA @ np.asarray(B.R, np.float32)).astype(np.float32),
+                      (sA * (RA @ np.asarray(B.t, np.float32)) +
+                       np.asarray(A.t, np.float32)).astype(np.float32))
+
+
 def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                     seed: int = 0, refine=False,
                     all_pairs: bool = False,
@@ -310,6 +334,11 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     initialized from the greedy chain either way."""
     from .match_edges import prep_sequence
     key = jax.random.key(seed)
+    # all per-pair keys derived up front — ONE eager split op instead of
+    # a split dispatch through the tunnel per pair (round 5)
+    n_pairs = max(len(seqs) - 1, 1)
+    subs = jax.random.split(key, n_pairs + 1)
+    key = subs[0]
     # per-sequence feature/unprojection prep is hoisted out of the pair
     # loop — interior sequences are prepped once, not once per pair
     preps = [prep_sequence(s, cfg) for s in seqs]
@@ -318,8 +347,8 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
     all_candidates = []
     want_cands = bool(refine) or bool(debug_dir) or cfg.debug_artifacts
     for k in range(len(seqs) - 1):
-        key, sub = jax.random.split(key)
-        T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg, sub,
+        T, best, cands = match_sequence_pair(seqs[k], seqs[k + 1], cfg,
+                                             subs[k + 1],
                                              preps[k], preps[k + 1],
                                              mesh=mesh,
                                              want_candidates=want_cands)
@@ -343,12 +372,14 @@ def align_sequences(seqs: List[Sequence], cfg: StitchConfig,
                 best.uv1, best.uv2, best.mask)
 
     # cumulative transforms: sequence k -> final frame (left-compose chain,
-    # Processor.cpp:819-823)
+    # Processor.cpp:819-823). Pure numpy: the per-pair T's arrive as host
+    # arrays (select_and_solve), so the chain never dispatches device ops
+    # (round 5 — eager jnp composes were a tunnel round trip each).
     transforms = []
     for k in range(len(seqs)):
-        acc = Similarity.identity()
+        acc = _identity_host()
         for j in range(k, len(edges)):
-            acc = compose(edges[j], acc)
+            acc = _compose_host(edges[j], acc)
         transforms.append(acc)
     result = AlignResult(transforms, keyframes, residuals)
 
@@ -407,7 +438,7 @@ def fuse_sequences(seqs: List[Sequence], result: AlignResult,
     """Consistency-check depths, sample oriented points per sequence,
     visibility-filter, and map everything into the reference frame
     (Processor.cpp:905-1040). Returns (points [P,3], normals [P,3]) numpy."""
-    all_pts, all_nrm = [], []
+    outs = []
     for k, seq in enumerate(seqs):
         disp = check_consistency(
             seq.disparity, seq.cams, min_dsp=cfg.min_dsp,
@@ -418,11 +449,13 @@ def fuse_sequences(seqs: List[Sequence], result: AlignResult,
             nbr_step=cfg.nbr_frm_step, dsp_err=cfg.dsp_err,
             conf_min=cfg.conf_min)
         T = result.transforms[k]
-        # all frames in one dispatch + ONE host pull per sequence (the
-        # per-frame loop cost a device round trip per frame)
-        pts, nrm, v = jax.device_get(
-            _fuse_one(op.points, op.valid, op.normals, seq.cams,
-                      T.s, T.R, T.t))      # one round trip, not three
+        # dispatches stay async inside the loop; ALL sequences pull in
+        # one device_get below (round 5 — was one ~27 ms round trip per
+        # sequence through the tunnel)
+        outs.append(_fuse_one(op.points, op.valid, op.normals, seq.cams,
+                              T.s, T.R, T.t))
+    all_pts, all_nrm = [], []
+    for pts, nrm, v in jax.device_get(outs):
         all_pts.append(pts[v])
         all_nrm.append(nrm[v])
     return np.concatenate(all_pts), np.concatenate(all_nrm)

