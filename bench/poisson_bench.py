@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--depth", type=int, default=9)
     ap.add_argument("--n", type=int, default=200000)
+    ap.add_argument("--only", action="store_true",
+                    help="run ONLY --depth (skip the depth-8 anchor row)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +62,8 @@ def main():
             (np.linalg.norm(verts, axis=1) - bb) ** 2)))
 
     rows = {}
-    for depth in (8, args.depth):
+    depths = (args.depth,) if args.only else (8, args.depth)
+    for depth in depths:
         t0 = time.perf_counter()
         verts, faces = reconstruct_poisson(pts, nrm, depth=depth)
         wall = time.perf_counter() - t0

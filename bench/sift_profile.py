@@ -123,7 +123,11 @@ def main():
                 sig *= kfac
             dogs = jnp.stack([gs[i + 1] - gs[i] for i in range(len(gs) - 1)])
             resp = F._dog_extrema(dogs, contrast_thresh=0.005)
-            score, flat = jax.lax.top_k(resp.reshape(-1), K)
+            # approx_max_k like production (round 5: this stage previously
+            # measured the EXACT top_k production no longer runs, which
+            # overstated extrema by the ~10 ms sort)
+            score, flat = jax.lax.approx_max_k(resp.reshape(-1), K,
+                                               recall_target=0.99)
             return score.sum() + flat.sum()
         return jax.vmap(one)(fr).sum()
     results["extrema_topk_oct0"] = (
@@ -154,7 +158,8 @@ def main():
         def one(img, uv1, sc1):
             gxa, gya, meta = make_stacks(img)
             lvl = F._grad_level(sc1, 6)
-            a1, a2, r2 = F._orientation_batch(gxa, gya, meta, lvl, uv1, sc1)
+            cache = F._build_window_cache(gxa, gya, meta, lvl, uv1)
+            a1, a2, r2 = F._orientation_batch(cache, meta, lvl, uv1, sc1)
             return a1.sum() + r2.sum()
         return jax.vmap(one)(fr, uv, scale).sum()
     results["stacks_plus_orientation"] = (
@@ -164,7 +169,8 @@ def main():
         def one(img, uv1, sc1, an1):
             gxa, gya, meta = make_stacks(img)
             lvl = F._grad_level(sc1, 6)
-            d = F._descriptor_batch(gxa, gya, meta, lvl, uv1, sc1, an1)
+            cache = F._build_window_cache(gxa, gya, meta, lvl, uv1)
+            d = F._descriptor_batch(cache, meta, lvl, uv1, sc1, an1)
             return d.sum()
         return jax.vmap(one)(fr, uv, scale, ang).sum()
     results["stacks_plus_descriptor"] = (

@@ -63,10 +63,19 @@ def _gather_px(img2d, vy, vx):
     return vals, jnp.ones_like(vy, bool)
 
 
-def _gather_px_frames(imgs, vy, vx):
+def _gather_px_frames(imgs, vy, vx, window_rows: int = 24):
     """Per-frame image gather: imgs [N,H,W] sampled at (vy, vx) [N,Ho,Wo]
     within each frame -> (vals, ok). Ho/Wo may differ from H/W (strided
     query grids).
+
+    ``window_rows`` bounds each 8-row output band's source window — the
+    MXU passes scale with it, and the round-5 profile put ~4 ms of the
+    7.45 ms consistency stage in ONE full-res gather at the old default
+    48. The window must cover the band's intra-band target-row spread:
+    ~8-10 rows for unstrided consumers (consistency passes 16), ~8*stride
+    + margin for strided ones (sampling passes 8*stride+16). Misses stay
+    conservative (masked invalid); the accuracy ladder measured
+    bit-identical at 16 vs 48 on the sphere fixture.
 
     TPU path: ONE banded gather on the frame-stacked [N*H, W] image with
     row indices offset by n*H. Bands (8 rows) never span frames when H is
@@ -78,12 +87,15 @@ def _gather_px_frames(imgs, vy, vx):
     n, h, w = imgs.shape
     ho, wo = vy.shape[-2:]
     if _use_mxu_gather() and ho % 8 == 0:
+        import os as _os
         from .gather2d import gather_image_banded
         off = (jnp.arange(n, dtype=jnp.int32) * h)[:, None, None]
+        # MVS_GATHER_WINDOW overrides for A/B runs
+        wr = int(_os.environ.get("MVS_GATHER_WINDOW", str(window_rows)))
         vals, ok = gather_image_banded(
             imgs.reshape(n * h, w),
             (jnp.clip(vy, 0, h - 1) + off).reshape(n * ho, wo),
-            vx.reshape(n * ho, wo), mode="split2")
+            vx.reshape(n * ho, wo), mode="split2", window_rows=wr)
         return vals.reshape(n, ho, wo), ok.reshape(n, ho, wo)
     return jax.vmap(_gather_px)(imgs, vy, vx)
 
@@ -114,7 +126,7 @@ def _offset_check(pts, cam_pix: CameraBatch, uv, ndisp, ncams: CameraBatch,
     # nearest-sample the neighbor disparity (clipped gather; masked later)
     uc = jnp.clip(un, 0, w - 1)
     vc = jnp.clip(vn, 0, h - 1)
-    dn, gok = _gather_px_frames(ndisp, vc, uc)
+    dn, gok = _gather_px_frames(ndisp, vc, uc, window_rows=16)
     ref_valid = (dn >= min_dsp) & (dn <= max_dsp) & gok
 
     # round trip: unproject the neighbor pixel, project into current cam

@@ -113,7 +113,11 @@ def sample_oriented_points(
             uc = jnp.clip(un, 0, w - 1)
             vc = jnp.clip(vn, 0, h - 1)
             from .consistency import _gather_px_frames
-            dn, gok = _gather_px_frames(disparity[nbr], vc, uc)
+            # band window covers the strided band's source-row spread
+            # (8 output rows x stride) plus margin
+            dn, gok = _gather_px_frames(
+                disparity[nbr], vc, uc,
+                window_rows=min(8 * sample_radius + 16, 48))
             inb = inb & gok
             # the point's disparity as seen from the neighbor camera
             d_proj = jnp.where(zn > 1e-12, 1.0 / jnp.maximum(zn, 1e-12), 0.0)
