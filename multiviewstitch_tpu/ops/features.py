@@ -650,7 +650,15 @@ def detect_and_describe(
     return Keypoints(uv, scale, ang, score_top, valid, desc)
 
 
+@partial(jax.jit, static_argnames=("max_keypoints", "num_levels",
+                                   "margins", "min_score", "detector",
+                                   "scales_per_octave"))
 def detect_batch(grays: jnp.ndarray, **kw) -> Keypoints:
     """vmap detect_and_describe over a batch of images [N,H,W] — the
-    equivalent of DetectFeature's loop (FeatureProc.cpp:103-112)."""
+    equivalent of DetectFeature's loop (FeatureProc.cpp:103-112).
+
+    Jitted as a whole (round 5): a bare eager vmap INLINES the inner
+    jit and dispatches every batched primitive through the tunnel
+    one by one — this single call was most of the 0.9 s e2e prep stage
+    (the round-4 'jit every pipeline stage' lesson, missed here)."""
     return jax.vmap(lambda g: detect_and_describe(g, **kw))(grays)
