@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--n", type=int, default=200000)
     ap.add_argument("--only", action="store_true",
                     help="run ONLY --depth (skip the depth-8 anchor row)")
+    ap.add_argument("--grid", type=int, default=None,
+                    help="override grid size (768 = largest single-chip "
+                         "class; depth-10 1024^3 OOMs: 29.02G of 15.75G)")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +68,8 @@ def main():
     depths = (args.depth,) if args.only else (8, args.depth)
     for depth in depths:
         t0 = time.perf_counter()
-        verts, faces = reconstruct_poisson(pts, nrm, depth=depth)
+        verts, faces = reconstruct_poisson(pts, nrm, depth=depth,
+                                           grid_override=args.grid)
         wall = time.perf_counter() - t0
         rows[str(depth)] = {
             "wall_s": round(wall, 2),

@@ -441,22 +441,32 @@ def _dog_extrema(dogs, contrast_thresh: float, edge_ratio: float = 10.0):
     rejection (the SIFT detector's acceptance rules; the reference gets
     these from SiftGPU, FeatureProc.cpp:20)."""
     S = dogs.shape[0]
+
+    # separable 3x3 neighborhood max/min per level (round 5: the explicit
+    # 26-shift loop was 52+ elementwise passes per scale; separable is 8)
+    def max3(a, ax):
+        return jnp.maximum(a, jnp.maximum(jnp.roll(a, 1, ax),
+                                          jnp.roll(a, -1, ax)))
+
+    def min3(a, ax):
+        return jnp.minimum(a, jnp.minimum(jnp.roll(a, 1, ax),
+                                          jnp.roll(a, -1, ax)))
+
+    mx9 = [max3(max3(dogs[s], 0), 1) for s in range(S)]   # 3x3 incl self
+    mn9 = [min3(min3(dogs[s], 0), 1) for s in range(S)]
+
     resp = []
     for s in range(1, S - 1):
         d = dogs[s]
-        mx = jnp.full_like(d, -jnp.inf)
-        mn = jnp.full_like(d, jnp.inf)
-        for ds in (-1, 0, 1):
-            lvl = dogs[s + ds]
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if ds == 0 and dy == 0 and dx == 0:
-                        continue
-                    sh = jnp.roll(jnp.roll(lvl, dy, 0), dx, 1)
-                    mx = jnp.maximum(mx, sh)
-                    mn = jnp.minimum(mn, sh)
-        is_ext = ((d > mx) & (d > contrast_thresh)) | \
-                 ((d < mn) & (d < -contrast_thresh))
+        # 27-neighborhood max/min INCLUDING the center: d is an extremum
+        # iff it EQUALS the neighborhood extreme. Exact ties on a DoG
+        # plateau admit the whole plateau where the strict 26-exclusive
+        # test admitted none — measure-zero on real float data, and the
+        # recall gates (tests/test_feature_recall.py) pin the behavior.
+        mx = jnp.maximum(mx9[s], jnp.maximum(mx9[s - 1], mx9[s + 1]))
+        mn = jnp.minimum(mn9[s], jnp.minimum(mn9[s - 1], mn9[s + 1]))
+        is_ext = ((d >= mx) & (d > contrast_thresh)) | \
+                 ((d <= mn) & (d < -contrast_thresh))
 
         # edge rejection via the spatial Hessian trace^2/det ratio
         dxx = jnp.roll(d, -1, 1) + jnp.roll(d, 1, 1) - 2 * d

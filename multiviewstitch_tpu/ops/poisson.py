@@ -320,15 +320,23 @@ def reconstruct_poisson(points: np.ndarray, normals: np.ndarray,
                         *, depth: int = 7, margin: float = 0.1,
                         cg_iters: int = 300,
                         support_radius: int = 6,
-                        solver: str = "auto", vcycles: int = 12
+                        solver: str = "auto", vcycles: int = 12,
+                        grid_override: int | None = None,
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Full Poisson pipeline: oriented cloud -> (vertices, faces).
     ``depth`` mirrors psn_dpt: grid = 2^depth (the reference runs 8-10,
     config.txt:33-34). Extraction is restricted to cells within
     `support_radius` voxels of any sample (far-field χ is unconstrained,
     like the octree's adaptive support). depth >= 9 uses the multigrid
-    solver and Z-slab extraction (see module docstring)."""
-    grid = 1 << depth
+    solver and Z-slab extraction (see module docstring).
+
+    ``grid_override`` sets a non-power-of-two grid (multigrid only needs
+    divisibility by 2 down to the coarsest level): depth 10's 1024^3
+    V-cycle working set measured 29.02 G of the v5e's 15.75 G HBM (XLA
+    program buffer report, round 5) — 768^3 is the largest grid class
+    that fits a single chip; a full 1024 needs >= 2 chips with the field
+    Z-sharded."""
+    grid = grid_override if grid_override else (1 << depth)
     mins = points.min(0)
     maxs = points.max(0)
     span = (maxs - mins).max()
@@ -343,8 +351,11 @@ def reconstruct_poisson(points: np.ndarray, normals: np.ndarray,
         solver=solver, vcycles=vcycles)
 
     # support mask: dilate the sample-occupancy grid (bool — a f32 grid
-    # would cost 4.3 GB at depth 10; the extractor casts per slab)
+    # would cost 4.3 GB at depth 10; the extractor casts per slab); the
+    # weight grid is dead after this — drop it before extraction (1.7 GB
+    # at 768^3, where the first run OOM'd in the slab extractor)
     occ = _dilate_occupancy(wgt, support_radius)
+    del wgt
 
     if grid <= 256:
         # caps sized for a fully-occupied 256^3 surface (round 4: the
@@ -355,4 +366,7 @@ def reconstruct_poisson(points: np.ndarray, normals: np.ndarray,
                                         max_vertices=1 << 19,
                                         max_faces=1 << 20)
         return verts, faces
-    return _extract_mesh_slabs(field, occ, origin, spacing)
+    # thinner slabs past 512: the per-slab corner stacks scale with
+    # slab * G^2 and sit next to the 1.7-4.3 GB field
+    return _extract_mesh_slabs(field, occ, origin, spacing,
+                               slab=64 if grid <= 512 else 32)
