@@ -114,10 +114,11 @@ def sample_oriented_points(
             vc = jnp.clip(vn, 0, h - 1)
             from .consistency import _gather_px_frames
             # band window covers the strided band's source-row spread
-            # (8 output rows x stride) plus margin
+            # (8 output rows x stride ~ 16 at stride 2, measured ~18 with
+            # reprojection jitter) plus margin
             dn, gok = _gather_px_frames(
                 disparity[nbr], vc, uc,
-                window_rows=min(8 * sample_radius + 16, 48))
+                window_rows=min(8 * sample_radius + 8, 48))
             inb = inb & gok
             # the point's disparity as seen from the neighbor camera
             d_proj = jnp.where(zn > 1e-12, 1.0 / jnp.maximum(zn, 1e-12), 0.0)
