@@ -75,14 +75,55 @@ def _unproject_batch(cams, disp, min_dsp, max_dsp):
     )(cams, disp)
 
 
+@partial(jax.jit, static_argnames=("view_count", "rot_angle", "axis",
+                                   "segment", "max_keypoints", "margins",
+                                   "min_dsp", "max_dsp"))
+def _prep_fused(gray, disparity, cams, *, view_count, rot_angle, axis,
+                segment, max_keypoints, margins, min_dsp, max_dsp):
+    """The ENTIRE per-sequence prep — segmentation mask, virtual-view
+    synthesis, SIFT detect/describe, unprojection — as ONE jitted program
+    (round 5: the staged version interleaved ~20 eager ops — reshapes,
+    tree_maps, angle builds — between its jitted pieces, and each eager
+    op is a dispatch round trip through the tunnel; prep was 0.88 s of
+    the 0.98 s config-2 e2e wall against ~0.1 s of device time).
+    Frames stay sequential inside via lax.map (the round-3 HBM lesson:
+    vmapping the synthesis gather over frames OOMs at config-2 shape)."""
+    from ..ops.view_synth import synthesize_views, view_angles
+    from ..ops.features import detect_and_describe
+    n = gray.shape[0]
+    h, w = gray.shape[1:]
+    g = gray
+    if segment:
+        from ..ops.segmentation import foreground_from_disparity
+        fg = foreground_from_disparity(disparity, min_dsp, max_dsp)
+        g = jnp.where(fg, g, 0.0)
+    angles = view_angles(view_count, rot_angle)
+    max_deg = float(rot_angle) * (view_count // 2)
+    sv = jax.lax.map(lambda gKR: synthesize_views(
+        gKR[0][..., None], gKR[1], gKR[2], angles, axis=axis,
+        max_angle_deg=max_deg), (g, cams.K, cams.R))
+    flat = sv.images[..., 0].reshape(n * view_count, h, w)
+    kp = jax.vmap(lambda im: detect_and_describe(
+        im, max_keypoints=max_keypoints, margins=margins))(flat)
+    kp = jax.tree_util.tree_map(
+        lambda x: x.reshape((n, view_count) + x.shape[1:]), kp)
+    pts, pmask = jax.vmap(
+        lambda cam, d: unproject_depth_map(cam, d, min_dsp, max_dsp)
+    )(cams, disparity)
+    return kp, sv.tex_index, pts, pmask
+
+
 def prep_sequence(seq, cfg: StitchConfig) -> SequencePrep:
-    """Features + texIndex + unprojection maps for one sequence (two batched
-    dispatches: view synthesis/detection, unprojection)."""
-    from .align_seq import _prep_sequence_views
-    kp, tex = _prep_sequence_views(seq, cfg)
-    pts, pmask = _unproject_batch(seq.cams, seq.disparity,
-                                  jnp.float32(cfg.min_dsp),
-                                  jnp.float32(cfg.max_dsp))
+    """Features + texIndex + unprojection maps for one sequence — one
+    device dispatch (see _prep_fused)."""
+    kp, tex, pts, pmask = _prep_fused(
+        seq.gray, seq.disparity, seq.cams,
+        view_count=cfg.view_count, rot_angle=float(cfg.rot_angle),
+        axis=int(cfg.axis), segment=bool(cfg.segment),
+        max_keypoints=int(cfg.max_keypoints),
+        margins=(float(cfg.hl_margin_ratio), float(cfg.hr_margin_ratio),
+                 float(cfg.vl_margin_ratio), float(cfg.vr_margin_ratio)),
+        min_dsp=float(cfg.min_dsp), max_dsp=float(cfg.max_dsp))
     return SequencePrep(kp.desc, kp.valid, kp.uv, tex, seq.gray,
                         pts, pmask, seq.cams)
 
