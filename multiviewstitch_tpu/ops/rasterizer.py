@@ -238,6 +238,7 @@ def _raster_tiled(uvz, faces, face_ok, h, w, zbuf_flat, *,
         area = ((au[:, 1] - au[:, 0]) * (av[:, 2] - av[:, 0]) -
                 (av[:, 1] - av[:, 0]) * (au[:, 2] - au[:, 0]))[:, None]
         denom = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+        rows, vals = [], []
         for tid in (t0, t1, t2, t3):
             px = ((tid % ntx) * ts).astype(jnp.float32)[:, None] + dxr
             py = ((tid // ntx) * ts).astype(jnp.float32)[:, None] + dyr
@@ -259,8 +260,12 @@ def _raster_tiled(uvz, faces, face_ok, h, w, zbuf_flat, *,
                     e0 / denom * az[:, 2:3])
             okp = (inside & (jnp.abs(area) > 1e-12) & (disp > 0) &
                    (px <= w - 1) & (py <= h - 1))
-            zb = zb.at[jnp.minimum(tid, T)].max(
-                jnp.where(okp, disp, 0.0), mode="drop")
+            rows.append(jnp.minimum(tid, T))
+            vals.append(jnp.where(okp, disp, 0.0))
+        # one row scatter for all four candidate slots (round 5: four
+        # separate scatter ops per scan step paid four op overheads)
+        zb = zb.at[jnp.concatenate(rows)].max(
+            jnp.concatenate(vals), mode="drop")
         return zb, None
 
     zb2d, _ = jax.lax.scan(
